@@ -1,0 +1,586 @@
+"""Dense bundle adjustment (DBA): Gauss–Newton with depth-block Schur complement.
+
+TPU-native replacement for BOTH reference BA implementations:
+  * the native SLAM-time solver ``droid_backends.ba``
+    (/root/reference/src/droid.cpp:680-798) with its hand-written CUDA kernel
+    suite (``projective_transform_kernel``, ``EEt6x6``, ``Ev6x1``, ``EvT6x1``,
+    ``accum/accum2``, ``pose_retr``, ``disp_retr``) and host-side Eigen sparse
+    Cholesky, and
+  * the training-time differentiable BA (/root/reference/droid_slam/geom/ba.py
+    + chol.py).
+
+Design (TPU-first, not a translation):
+  * Per-edge residual/Jacobian/Hessian blocks are one fused einsum pipeline
+    (`build_edge_blocks`) — the reference needed a 250-line per-pixel CUDA
+    kernel; on TPU the contraction over pixels is an MXU matmul and XLA fuses
+    the elementwise Jacobian arithmetic into it.
+  * The reference's host-side sparse-matrix assembly (Eigen triplets,
+    droid.cpp:474-585) becomes `segment_sum` scatters into a dense
+    [P,P,6,6] pose Hessian — P (the optimization window) is at most a few
+    hundred, so the dense system is tiny by MXU standards and the whole GN
+    iteration stays on device (the reference ping-pongs device↔host every
+    iteration).
+  * The Schur complement S = E Q Eᵀ uses the same block-sparsity as the
+    reference (blocks (pose p, keyframe k); droid.cpp:587-675) driven by a
+    host-precomputed padded pair list (`SchurPairs`) that only changes when
+    the graph topology changes — the product itself is a chunked batched
+    6×HW×6 matmul.
+  * The damped solve is float32 Cholesky + one iterative-refinement step in
+    place of the reference's float64 Eigen SimplicialLLT (TPUs have no f64;
+    refinement restores the accuracy GN needs).
+
+Index conventions match the reference: poses [t0, t1) are optimized, poses
+below t0 are held fixed, but inverse depths of *any* frame touched by an edge
+are updated (droid.cpp:715-727).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lie
+from . import projective as pops
+
+Array = jax.Array
+
+
+# -----------------------------------------------------------------------------
+# damped Cholesky with safe failure + custom VJP (replaces geom/chol.py)
+# -----------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def cholesky_solve(H: Array, b: Array) -> Array:
+    """Solve H x = b (SPD H). Returns zeros if the factorization fails,
+    mirroring the reference's keep-training-on-failure behaviour
+    (geom/chol.py:5-19, droid.cpp:568-578)."""
+    L = jnp.linalg.cholesky(H)
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    ok = jnp.all(jnp.isfinite(x), axis=(-2, -1), keepdims=True)
+    return jnp.where(ok, x, jnp.zeros_like(x))
+
+
+def _cholesky_solve_fwd(H, b):
+    L = jnp.linalg.cholesky(H)
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    ok = jnp.all(jnp.isfinite(x), axis=(-2, -1), keepdims=True)
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    return x, (L, x, ok)
+
+
+def _cholesky_solve_bwd(res, g):
+    # analytic backward of the solve: db = H⁻¹ g, dH = −x dbᵀ (chol.py:21-30)
+    L, x, ok = res
+    db = jax.scipy.linalg.cho_solve((L, True), g)
+    db = jnp.where(ok, db, jnp.zeros_like(db))
+    dH = -jnp.matmul(x, jnp.swapaxes(db, -1, -2))
+    return dH, db
+
+
+cholesky_solve.defvjp(_cholesky_solve_fwd, _cholesky_solve_bwd)
+
+
+def damped_solve(
+    H: Array, b: Array, ep: float = 0.1, lm: float = 1e-4, refine: bool = True
+) -> Array:
+    """Solve the damped system ((1+lm)·diag + ep on the diagonal).
+
+    `refine` adds one iterative-refinement pass to recover the accuracy the
+    reference gets from solving in float64 (droid.cpp:559-579).
+    """
+    n = H.shape[-1]
+    eye = jnp.eye(n, dtype=H.dtype)
+    Hd = H + (ep + lm * H) * eye
+    x = cholesky_solve(Hd, b)
+    if refine:
+        r = b - jnp.matmul(Hd, x)
+        x = x + cholesky_solve(Hd, r)
+    return x
+
+
+# -----------------------------------------------------------------------------
+# per-edge linearisation (replaces projective_transform_kernel)
+# -----------------------------------------------------------------------------
+
+
+class EdgeBlocks(NamedTuple):
+    """Per-edge Gauss–Newton blocks. N edges, HW pixels at 1/8 resolution."""
+
+    Hii: Array  # [N, 6, 6]
+    Hij: Array  # [N, 6, 6]
+    Hji: Array  # [N, 6, 6]
+    Hjj: Array  # [N, 6, 6]
+    vi: Array  # [N, 6]
+    vj: Array  # [N, 6]
+    Ei: Array  # [N, 6, HW]  pose-i / depth-ii coupling
+    Ej: Array  # [N, 6, HW]  pose-j / depth-ii coupling
+    Ck: Array  # [N, HW]     depth-block diagonal
+    wk: Array  # [N, HW]     depth rhs
+
+
+def build_edge_blocks(
+    target: Array,
+    weight: Array,
+    poses: Array,
+    disps: Array,
+    intrinsics: Array,
+    ii: Array,
+    jj: Array,
+    edge_valid: Optional[Array] = None,
+    min_depth: float = pops.MIN_DEPTH_NATIVE,
+) -> EdgeBlocks:
+    """Linearise the reprojection factors of each edge.
+
+    target/weight: [N, H, W, 2]; poses [F,7]; disps [F,H,W]; intrinsics [F,4].
+    Matches src/droid_kernels_cpu.cc:67-300 semantics: weights are scaled by
+    1e-3, zeroed where the transformed depth is below `min_depth`, and — for
+    stereo self-edges (ii == jj) — zeroed in every pose block while still
+    contributing to the depth system (Ck/wk).
+    """
+    N = ii.shape[0]
+    ht, wd = disps.shape[-2:]
+    hw = ht * wd
+
+    coords, valid, jac = pops.projective_transform(
+        poses, disps, intrinsics, ii, jj, jacobian=True, min_depth=min_depth
+    )
+
+    r = (target - coords).reshape(N, hw, 2)
+    w = (0.001 * valid * weight).reshape(N, hw, 2)
+    if edge_valid is not None:
+        w = w * edge_valid.astype(w.dtype)[:, None, None]
+
+    Ji = jac.Ji.reshape(N, hw, 2, 6)
+    Jj = jac.Jj.reshape(N, hw, 2, 6)
+    Jz = jac.Jz.reshape(N, hw, 2)
+
+    # pose blocks use weights zeroed on self-edges (stereo baseline is fixed);
+    # the depth system keeps them (droid_kernels_cpu.cc:160-166,197-203)
+    wp = w * (ii != jj).astype(w.dtype)[:, None, None]
+
+    wJi = wp[..., None] * Ji
+    wJj = wp[..., None] * Jj
+
+    Hii = jnp.einsum("nkca,nkcb->nab", wJi, Ji)
+    Hij = jnp.einsum("nkca,nkcb->nab", wJi, Jj)
+    Hji = jnp.einsum("nkca,nkcb->nab", wJj, Ji)
+    Hjj = jnp.einsum("nkca,nkcb->nab", wJj, Jj)
+
+    vi = jnp.einsum("nkca,nkc->na", wJi, r)
+    vj = jnp.einsum("nkca,nkc->na", wJj, r)
+
+    Ei = jnp.einsum("nkca,nkc->nak", wJi, Jz)
+    Ej = jnp.einsum("nkca,nkc->nak", wJj, Jz)
+
+    Ck = jnp.einsum("nkc,nkc->nk", w, Jz * Jz)
+    wk = jnp.einsum("nkc,nkc->nk", w, r * Jz)
+
+    return EdgeBlocks(Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, Ck, wk)
+
+
+# -----------------------------------------------------------------------------
+# training-path BA (differentiable; replaces geom/ba.py BA / MoBA)
+# -----------------------------------------------------------------------------
+
+
+def _scatter_mat(blocks: Array, ii: Array, jj: Array, n: int, m: int) -> Array:
+    """Scatter-add [N, ...] blocks into a dense [n, m, ...] grid, dropping
+    out-of-range rows (geom/ba.py:12-14)."""
+    ok = (ii >= 0) & (jj >= 0) & (ii < n) & (jj < m)
+    idx = jnp.where(ok, ii * m + jj, n * m)
+    flat = jax.ops.segment_sum(
+        jnp.where(ok.reshape((-1,) + (1,) * (blocks.ndim - 1)), blocks, 0.0),
+        idx,
+        num_segments=n * m + 1,
+    )
+    return flat[: n * m].reshape((n, m) + blocks.shape[1:])
+
+
+def _scatter_vec(blocks: Array, ii: Array, n: int) -> Array:
+    ok = (ii >= 0) & (ii < n)
+    idx = jnp.where(ok, ii, n)
+    flat = jax.ops.segment_sum(
+        jnp.where(ok.reshape((-1,) + (1,) * (blocks.ndim - 1)), blocks, 0.0),
+        idx,
+        num_segments=n + 1,
+    )
+    return flat[:n]
+
+
+def schur_solve(
+    H: Array, E: Array, C: Array, v: Array, w: Array, ep: float = 0.1, lm: float = 1e-4
+) -> Tuple[Array, Array]:
+    """Dense Schur-complement solve (geom/chol.py:46-73).
+
+    H: [P, P, 6, 6]; E: [P, M, 6, HW]; C, w: [M, HW]; v: [P, 6].
+    Returns (dx [P, 6], dz [M, HW]).
+    """
+    P = H.shape[0]
+    M, HW = C.shape
+    Hm = H.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    Em = E.transpose(0, 2, 1, 3).reshape(P * 6, M * HW)
+    Q = (1.0 / C).reshape(M * HW)
+
+    eye = jnp.eye(P * 6, dtype=Hm.dtype)
+    Hm = Hm + (ep + lm * Hm) * eye
+
+    vm = v.reshape(P * 6, 1)
+    wm = w.reshape(M * HW, 1)
+
+    S = Hm - jnp.matmul(Em, Q[:, None] * Em.T)
+    rhs = vm - jnp.matmul(Em, Q[:, None] * wm)
+
+    dx = cholesky_solve(S, rhs)
+    dz = Q[:, None] * (wm - jnp.matmul(Em.T, dx))
+    return dx.reshape(P, 6), dz.reshape(M, HW)
+
+
+def bundle_adjust(
+    target: Array,
+    weight: Array,
+    eta: Array,
+    poses: Array,
+    disps: Array,
+    intrinsics: Array,
+    ii: Array,
+    jj: Array,
+    fixedp: int = 1,
+    ep: float = 0.1,
+    lm: float = 1e-4,
+    motion_only: bool = False,
+    min_depth: float = pops.MIN_DEPTH,
+) -> Tuple[Array, Array]:
+    """One differentiable DBA step over frames [fixedp, F) (geom/ba.py:31-106).
+
+    target/weight: [N, H, W, 2]; eta: [F, H, W] (damping for every frame —
+    frames without edges are untouched because their Schur rows are zero);
+    poses [F, 7]; disps [F, H, W]; intrinsics [F, 4].
+
+    Unlike the reference we use all F frames as depth columns instead of
+    `unique(ii)` — identical math (columns of frames without edges are zero)
+    but a static shape, which is what jit wants. Batched use: jax.vmap.
+    """
+    F = poses.shape[0]
+    ht, wd = disps.shape[-2:]
+    hw = ht * wd
+    blocks = build_edge_blocks(
+        target, weight, poses, disps, intrinsics, ii, jj, min_depth=min_depth
+    )
+
+    P = F - fixedp
+    ii_r = ii - fixedp
+    jj_r = jj - fixedp
+
+    H = (
+        _scatter_mat(blocks.Hii, ii_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hij, ii_r, jj_r, P, P)
+        + _scatter_mat(blocks.Hji, jj_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hjj, jj_r, jj_r, P, P)
+    )
+    v = _scatter_vec(blocks.vi, ii_r, P) + _scatter_vec(blocks.vj, jj_r, P)
+
+    if motion_only:
+        Hm = H.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+        eye = jnp.eye(P * 6, dtype=Hm.dtype)
+        Hm = Hm + (ep + lm * Hm) * eye
+        dx = cholesky_solve(Hm, v.reshape(P * 6, 1)).reshape(P, 6)
+        dposes = jnp.zeros((F, 6), poses.dtype).at[fixedp:].set(dx)
+        return lie.retr(poses, dposes), disps
+
+    # depth columns over all frames
+    E = _scatter_mat(blocks.Ei, ii_r, ii, P, F) + _scatter_mat(blocks.Ej, jj_r, ii, P, F)
+    C = _scatter_vec(blocks.Ck, ii, F)
+    w = _scatter_vec(blocks.wk, ii, F)
+    C = C + eta.reshape(F, hw) + 1e-7
+
+    dx, dz = schur_solve(H, E, C, v, w, ep=ep, lm=lm)
+
+    dposes = jnp.zeros((F, 6), poses.dtype).at[fixedp:].set(dx)
+    poses = lie.retr(poses, dposes)
+    disps = disps + dz.reshape(F, ht, wd)
+    disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
+    disps = jnp.clip(disps, 0.0, None)
+    return poses, disps
+
+
+# -----------------------------------------------------------------------------
+# SLAM-runtime BA (native droid_backends.ba equivalent, block-sparse Schur)
+# -----------------------------------------------------------------------------
+
+
+class SchurPairs(NamedTuple):
+    """Host-precomputed block-pair schedule for the block-sparse Schur product.
+
+    Blocks are the rows of E = concat(Ei_window [P], Ej_edges [N]): block b has
+    a source keyframe k(b) (whose inverse depths it couples) and a pose p(b).
+    S[p(a), p(b)] += E_a · diag(Q_{k}) · E_bᵀ for every ordered pair (a, b)
+    with k(a) == k(b) and both poses inside the optimization window — exactly
+    the pair set the reference enumerates on the host per iteration
+    (droid.cpp:613-645); here it is computed once per graph edit and padded to
+    a static shape.
+    """
+
+    pair_a: Array  # [NP] int32 block index
+    pair_b: Array  # [NP] int32 block index
+    pair_valid: Array  # [NP] bool
+
+    @staticmethod
+    def build(
+        ii: np.ndarray,
+        jj: np.ndarray,
+        edge_valid: np.ndarray,
+        t0: int,
+        t1: int,
+        window: int,
+        pad_to: Optional[int] = None,
+    ) -> "SchurPairs":
+        """ii/jj: [N] host edge lists. Window rows occupy block ids [0, window);
+        edge e is block window + e. Only blocks with pose in [t0, t1) pair up."""
+        N = len(ii)
+        P = t1 - t0
+        # block lists: source keyframe and pose per block
+        blk_k = np.concatenate([np.arange(t0, t0 + window), ii])
+        blk_p = np.concatenate([np.arange(t0, t0 + window), jj])
+        blk_ok = np.concatenate(
+            [np.arange(window) < P, edge_valid.astype(bool)]
+        ) & (blk_p >= t0) & (blk_p < t1)
+
+        by_k: dict = {}
+        for b in np.nonzero(blk_ok)[0]:
+            by_k.setdefault(int(blk_k[b]), []).append(int(b))
+
+        pa, pb = [], []
+        for _, blks in sorted(by_k.items()):
+            for a in blks:
+                for b in blks:
+                    pa.append(a)
+                    pb.append(b)
+
+        np_total = len(pa)
+        if pad_to is None:
+            pad_to = max(int(2 ** np.ceil(np.log2(max(np_total, 16)))), 16)
+        assert np_total <= pad_to, f"pair list {np_total} exceeds pad {pad_to}"
+        pair_a = np.zeros(pad_to, np.int32)
+        pair_b = np.zeros(pad_to, np.int32)
+        pair_valid = np.zeros(pad_to, bool)
+        pair_a[:np_total] = pa
+        pair_b[:np_total] = pb
+        pair_valid[:np_total] = True
+        return SchurPairs(
+            jnp.asarray(pair_a), jnp.asarray(pair_b), jnp.asarray(pair_valid)
+        )
+
+
+def _pair_products(
+    E_blocks: Array, Qk: Array, pairs: SchurPairs, chunk: int = 2048
+) -> Array:
+    """S_pair[n] = E[a_n] · diag(Q[k(a_n)]) · E[b_n]ᵀ, chunked to bound memory.
+
+    E_blocks: [NB, 6, HW]; Qk: [NB, HW] (Q already gathered per block).
+    Returns [NP, 6, 6].
+    """
+    NP = pairs.pair_a.shape[0]
+    if NP <= chunk:
+        Ea = E_blocks[pairs.pair_a] * Qk[pairs.pair_a][:, None, :]
+        Eb = E_blocks[pairs.pair_b]
+        S = jnp.einsum("nak,nbk->nab", Ea, Eb)
+        return S * pairs.pair_valid[:, None, None].astype(S.dtype)
+
+    n_chunks = -(-NP // chunk)
+    pad = n_chunks * chunk - NP
+    pa = jnp.pad(pairs.pair_a, (0, pad)).reshape(n_chunks, chunk)
+    pb = jnp.pad(pairs.pair_b, (0, pad)).reshape(n_chunks, chunk)
+    pv = jnp.pad(pairs.pair_valid, (0, pad)).reshape(n_chunks, chunk)
+
+    def body(args):
+        a, b, ok = args
+        Ea = E_blocks[a] * Qk[a][:, None, :]
+        Eb = E_blocks[b]
+        S = jnp.einsum("nak,nbk->nab", Ea, Eb)
+        return S * ok[:, None, None].astype(S.dtype)
+
+    S = jax.lax.map(body, (pa, pb, pv))
+    return S.reshape(n_chunks * chunk, 6, 6)[:NP]
+
+
+class BAProblem(NamedTuple):
+    """Static-shape inputs of the jitted SLAM-time BA (device arrays)."""
+
+    target: Array  # [N, H, W, 2]
+    weight: Array  # [N, H, W, 2]
+    eta: Array  # [F, H, W] per-frame damping (frames outside kx ignored)
+    ii: Array  # [N] int32 (padded entries arbitrary valid frame ids)
+    jj: Array  # [N]
+    edge_valid: Array  # [N] bool
+    t0: Array  # scalar int32 — first optimized pose
+    t1: Array  # scalar int32 — one past last optimized pose
+    pairs: SchurPairs
+
+
+def ba_iteration(
+    poses: Array,
+    disps: Array,
+    intrinsics: Array,
+    disps_sens: Array,
+    prob: BAProblem,
+    window: int,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    alpha: float = 0.05,
+    motion_only: bool = False,
+) -> Tuple[Array, Array]:
+    """One Gauss–Newton iteration of the SLAM-time BA (droid.cpp:743-795).
+
+    poses [F,7], disps/disps_sens [F,H,W], intrinsics [4] (shared across
+    frames, like droid.cpp's `intrinsics[0]`). `window` is the static padded
+    size of the optimization window; the true window is [t0, t1).
+    """
+    F = poses.shape[0]
+    ht, wd = disps.shape[-2:]
+    hw = ht * wd
+    N = prob.ii.shape[0]
+    t0, t1 = prob.t0, prob.t1
+    P = window
+
+    intr_all = jnp.broadcast_to(intrinsics, (F, 4))
+    blocks = build_edge_blocks(
+        prob.target,
+        prob.weight,
+        poses,
+        disps,
+        intr_all,
+        prob.ii,
+        prob.jj,
+        edge_valid=prob.edge_valid,
+        min_depth=pops.MIN_DEPTH_NATIVE,
+    )
+
+    # ---- pose Hessian over the window (relative indices, padded to P) ----
+    ii_r = prob.ii - t0
+    jj_r = prob.jj - t0
+    H = (
+        _scatter_mat(blocks.Hii, ii_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hij, ii_r, jj_r, P, P)
+        + _scatter_mat(blocks.Hji, jj_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hjj, jj_r, jj_r, P, P)
+    )
+    v = _scatter_vec(blocks.vi, ii_r, P) + _scatter_vec(blocks.vj, jj_r, P)
+
+    # rows past the live window get identity (solve returns 0 there)
+    row = jnp.arange(P)
+    live = (row < (t1 - t0)).astype(poses.dtype)
+    Hm = H.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    live6 = jnp.repeat(live, 6)
+    Hm = Hm * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
+    v = v * live[:, None]
+
+    if motion_only:
+        eye = jnp.eye(P * 6, dtype=Hm.dtype)
+        Hd = Hm + (ep + lm * Hm) * eye * live6[:, None]
+        dx = cholesky_solve(Hd, v.reshape(P * 6, 1)).reshape(P, 6) * live[:, None]
+        dposes = jnp.zeros((F + P, 6), poses.dtype)
+        dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
+        return lie.retr(poses, dposes), disps
+
+    # ---- depth system over all frames (full-frame static shape) ----
+    in_window = (jnp.arange(F) >= t0) & (jnp.arange(F) < t1)
+    touched = (
+        jnp.zeros(F, jnp.int32)
+        .at[prob.ii]
+        .max(prob.edge_valid.astype(jnp.int32), mode="drop")
+        > 0
+    )
+    in_kx = in_window | touched  # frames whose depths are updated (kx)
+
+    C_edges = _scatter_vec(blocks.Ck, prob.ii, F)
+    w_edges = _scatter_vec(blocks.wk, prob.ii, F)
+
+    m = (disps_sens.reshape(F, hw) > 0).astype(poses.dtype)
+    C = C_edges + m * alpha + (1.0 - m) * prob.eta.reshape(F, hw)
+    w = w_edges - m * alpha * (disps - disps_sens).reshape(F, hw)
+    kx_mask = in_kx.astype(poses.dtype)[:, None]
+    Q = kx_mask / jnp.where(C == 0.0, 1.0, C)
+
+    # ---- block-sparse Schur complement ----
+    # E block rows: the window's accumulated Ei rows, then per-edge Ej rows.
+    Ei_acc = _scatter_vec(blocks.Ei, prob.ii, F)  # [F, 6, HW]
+    # zero-pad so a window that sticks out past the buffer slices zeros
+    Ei_pad = jnp.pad(Ei_acc, ((0, P), (0, 0), (0, 0)))
+    Ei_win = jax.lax.dynamic_slice(Ei_pad, (t0, 0, 0), (P, 6, hw))
+    E_blocks = jnp.concatenate([Ei_win, blocks.Ej], axis=0)  # [P+N, 6, HW]
+
+    blk_k = jnp.concatenate([t0 + jnp.arange(P), prob.ii])
+    blk_p = jnp.concatenate([t0 + jnp.arange(P), prob.jj])
+    blk_ok = (
+        jnp.concatenate([row < (t1 - t0), prob.edge_valid])
+        & (blk_p >= t0)
+        & (blk_p < t1)
+    )
+    Qk = Q[blk_k] * blk_ok[:, None].astype(Q.dtype)  # [P+N, HW]
+
+    S_pairs = _pair_products(E_blocks, Qk, prob.pairs)
+    pa_p = blk_p[prob.pairs.pair_a] - t0
+    pb_p = blk_p[prob.pairs.pair_b] - t0
+    S = _scatter_mat(S_pairs, pa_p, pb_p, P, P)
+
+    # v −= E Q w per block, scattered to the block's pose row
+    Qw = Q * w  # [F, HW]
+    v_blocks = jnp.einsum("nak,nk->na", E_blocks, Qw[blk_k] * blk_ok[:, None])
+    v = v - _scatter_vec(v_blocks, blk_p - t0, P)
+
+    Sm = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    A = Hm - Sm * live6[:, None] * live6[None, :]
+    eye = jnp.eye(P * 6, dtype=A.dtype)
+    Ad = A + (ep + lm * A) * eye * live6[:, None]
+    dx = cholesky_solve(Ad, v.reshape(P * 6, 1))
+    r = v.reshape(P * 6, 1) - jnp.matmul(Ad, dx)
+    dx = dx + cholesky_solve(Ad, r)  # f32 refinement (reference solves in f64)
+    dx = dx.reshape(P, 6) * live[:, None]
+
+    # ---- back-substitute depths: dz = Q (w − Eᵀ dx) ----
+    dx_pose = dx[jnp.clip(blk_p - t0, 0, P - 1)] * blk_ok[:, None].astype(dx.dtype)
+    w_corr = jnp.einsum("nak,na->nk", E_blocks, dx_pose)  # [P+N, HW]
+    w_corr_k = _scatter_vec(w_corr, blk_k, F)
+    dz = Q * (w - w_corr_k)
+
+    # ---- retractions ----
+    dposes = jnp.zeros((F + P, 6), poses.dtype)
+    dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
+    poses = lie.retr(poses, dposes)
+    disps = disps + dz.reshape(F, ht, wd)
+    return poses, disps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "iterations", "motion_only")
+)
+def ba_solve(
+    poses: Array,
+    disps: Array,
+    intrinsics: Array,
+    disps_sens: Array,
+    prob: BAProblem,
+    window: int,
+    iterations: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    motion_only: bool = False,
+) -> Tuple[Array, Array]:
+    """Run `iterations` GN iterations and clamp disparities (depth_video.py:190-209)."""
+
+    def body(_, carry):
+        p, d = carry
+        return ba_iteration(
+            p, d, intrinsics, disps_sens, prob, window,
+            lm=lm, ep=ep, motion_only=motion_only,
+        )
+
+    poses, disps = jax.lax.fori_loop(0, iterations, body, (poses, disps))
+    if not motion_only:
+        disps = jnp.clip(disps, 0.001, None)
+    return poses, disps
