@@ -1,0 +1,120 @@
+"""Trajectory evaluation: Umeyama alignment + absolute trajectory error.
+
+Self-contained replacement for the `evo` dependency the reference's
+evaluation scripts shell out to (/root/reference/evaluation_scripts/
+test_tum.py:98-122, test_euroc.py:118-140, test_eth3d.py:109-133):
+APE on translation after SE(3)/Sim(3) Umeyama alignment, with optional
+scale correction (monocular protocols align+scale; ETH3D RGB-D aligns
+without scale, test_eth3d.py:130-131).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """Timestamped positions+quaternions, TUM convention (t, xyz, q_xyzw)."""
+
+    tstamps: np.ndarray  # [T]
+    positions: np.ndarray  # [T, 3]
+    quats: np.ndarray  # [T, 4] xyzw
+
+    @staticmethod
+    def from_poses(tstamps, poses_c2w: np.ndarray) -> "Trajectory":
+        """poses_c2w: [T, 7] camera-to-world (t, q_xyzw)."""
+        return Trajectory(
+            np.asarray(tstamps, np.float64),
+            np.asarray(poses_c2w[:, :3], np.float64),
+            np.asarray(poses_c2w[:, 3:7], np.float64),
+        )
+
+    @staticmethod
+    def load_tum(path: str) -> "Trajectory":
+        data = np.loadtxt(path, comments="#", dtype=np.float64)
+        return Trajectory(data[:, 0], data[:, 1:4], data[:, 4:8])
+
+    def save_tum(self, path: str):
+        data = np.concatenate(
+            [self.tstamps[:, None], self.positions, self.quats], axis=1
+        )
+        np.savetxt(path, data, fmt="%.9f")
+
+
+def associate(
+    t_a: np.ndarray, t_b: np.ndarray, max_dt: float = 0.02
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy nearest-timestamp association (the TUM benchmark convention)."""
+    ia, ib = [], []
+    used = np.zeros(len(t_b), bool)
+    order_b = np.argsort(t_b)
+    tb_sorted = t_b[order_b]
+    for k, ta in enumerate(t_a):
+        pos = np.searchsorted(tb_sorted, ta)
+        best, best_dt = -1, max_dt
+        for c in (pos - 1, pos):
+            if 0 <= c < len(tb_sorted):
+                dt = abs(tb_sorted[c] - ta)
+                if dt <= best_dt and not used[order_b[c]]:
+                    best, best_dt = order_b[c], dt
+        if best >= 0:
+            used[best] = True
+            ia.append(k)
+            ib.append(best)
+    return np.asarray(ia, np.int64), np.asarray(ib, np.int64)
+
+
+def align_umeyama(
+    model: np.ndarray, data: np.ndarray, correct_scale: bool = False
+) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Least-squares similarity transform aligning `model` onto `data`
+    (Umeyama 1991). Both [N, 3]. Returns (s, R, t) with
+    data ≈ s · R @ model + t."""
+    mu_m = model.mean(axis=0)
+    mu_d = data.mean(axis=0)
+    mc = model - mu_m
+    dc = data - mu_d
+
+    cov = dc.T @ mc / len(model)
+    U, S, Vt = np.linalg.svd(cov)
+    W = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        W[2, 2] = -1
+    R = U @ W @ Vt
+    if correct_scale:
+        var_m = (mc**2).sum() / len(model)
+        s = float(np.trace(np.diag(S) @ W) / var_m)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_m
+    return s, R, t
+
+
+def ate_rmse(
+    gt: Trajectory,
+    est: Trajectory,
+    correct_scale: bool = False,
+    max_dt: float = 0.02,
+) -> dict:
+    """Absolute trajectory error after alignment — the metric all four
+    reference eval protocols report (SURVEY §6)."""
+    ia, ib = associate(gt.tstamps, est.tstamps, max_dt=max_dt)
+    if len(ia) < 3:
+        raise ValueError(f"only {len(ia)} associated poses")
+    P = est.positions[ib]
+    G = gt.positions[ia]
+    s, R, t = align_umeyama(P, G, correct_scale=correct_scale)
+    P_aligned = s * P @ R.T + t
+    err = np.linalg.norm(P_aligned - G, axis=1)
+    return {
+        "ate_rmse": float(np.sqrt(np.mean(err**2))),
+        "ate_mean": float(err.mean()),
+        "ate_median": float(np.median(err)),
+        "ate_max": float(err.max()),
+        "n_pairs": int(len(ia)),
+        "scale": s,
+    }

@@ -1,0 +1,170 @@
+"""DroidNet: feature/context encoders + recurrent update operator, and the
+training-time unrolled forward (flow prediction → differentiable DBA).
+
+TPU-native equivalent of /root/reference/droid_slam/droid_net.py:147-224.
+The reference fork has the training forward disabled (`assert False`,
+droid_net.py:175); this implements the intended behaviour documented by
+train.py. All image tensors are NHWC; images enter as RGB uint8/float.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba as ba_ops
+from ..ops import corr as corr_ops
+from ..ops import projective as pops
+from .extractor import BasicEncoder
+from .update import UpdateModule, upsample_disp
+
+Array = jax.Array
+
+# ImageNet statistics (droid_net.py:160-162)
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], dtype=jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def normalize_images(images: Array) -> Array:
+    """RGB [..., H, W, 3] in [0, 255] → ImageNet-normalised float32."""
+    x = images.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class TrainingOutputs(NamedTuple):
+    poses: Array  # [S, B, F, 7] per-step pose estimates
+    disps_up: Array  # [S, B, F, H, W] per-step upsampled disparities
+    residuals: Array  # [S, B*N, h, w, 2] per-step masked flow residuals
+
+
+class DroidNet(nn.Module):
+    """fnet (matching features) + cnet (context) + recurrent update operator
+    (droid_net.py:147-152)."""
+
+    def setup(self):
+        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance")
+        self.cnet = BasicEncoder(output_dim=256, norm_fn="none")
+        self.update = UpdateModule()
+
+    def extract_features(self, images: Array) -> Tuple[Array, Array, Array]:
+        """images: [B, H, W, 3] RGB 0-255 → (fmaps [B,h,w,128],
+        net [B,h,w,128] tanh hidden init, inp [B,h,w,128] relu context)."""
+        x = normalize_images(images)
+        fmaps = self.fnet(x)
+        ctx = self.cnet(x)
+        net, inp = jnp.split(ctx, 2, axis=-1)
+        return fmaps, jnp.tanh(net), nn.relu(inp)
+
+    def __call__(
+        self,
+        Gs: Array,  # [B, F, 7] initial poses
+        images: Array,  # [B, F, H, W, 3] RGB 0-255
+        disps: Array,  # [B, F, h, w] initial inverse depths (1/8 res)
+        intrinsics: Array,  # [B, F, 4] at 1/8 resolution
+        ii: Array,  # [N] static edge list shared across the batch
+        jj: Array,  # [N]
+        num_steps: int = 12,
+        fixedp: int = 2,
+    ) -> TrainingOutputs:
+        """Unrolled training forward (droid_net.py:173-224): per step — corr
+        lookup, update op, 2× differentiable DBA, reprojection; state is
+        detached between steps and gradients flow through each step's BA."""
+        B, F = images.shape[:2]
+        N = ii.shape[0]
+
+        fmaps, net0, inp0 = self.extract_features(images.reshape((B * F,) + images.shape[2:]))
+        h, w = fmaps.shape[1:3]
+        fmaps = fmaps.reshape(B, F, h, w, -1)
+        net0 = net0.reshape(B, F, h, w, -1)
+        inp0 = inp0.reshape(B, F, h, w, -1)
+
+        # per-edge state, flattened over (batch, edge)
+        net = net0[:, ii].reshape(B * N, h, w, -1)
+        inp = inp0[:, ii].reshape(B * N, h, w, -1)
+        corr_fn = corr_ops.CorrPyramid.build(
+            fmaps[:, ii].reshape(B * N, h, w, -1),
+            fmaps[:, jj].reshape(B * N, h, w, -1),
+        )
+
+        coords0 = pops.coords_grid(h, w)
+        transform = jax.vmap(
+            lambda p, d, k: pops.projective_transform(p, d, k, ii, jj)
+        )
+        coords1, _ = transform(Gs, disps, intrinsics)
+        target = coords1
+
+        # flattened segment ids for the per-frame graph aggregation
+        ii_flat = (jnp.arange(B)[:, None] * F + ii[None, :]).reshape(-1)
+
+        vmapped_ba = jax.vmap(
+            lambda t, wgt, eta, g, d, k: ba_ops.bundle_adjust(
+                t, wgt, eta, g, d, k, ii, jj, fixedp=fixedp
+            )
+        )
+
+        poses_out, disps_out, resid_out = [], [], []
+        for _ in range(num_steps):
+            Gs = jax.lax.stop_gradient(Gs)
+            disps = jax.lax.stop_gradient(disps)
+            coords1 = jax.lax.stop_gradient(coords1)
+            target = jax.lax.stop_gradient(target)
+
+            corr = corr_fn(coords1.reshape(B * N, h, w, 2))
+            resd = (target - coords1).reshape(B * N, h, w, 2)
+            flow = (coords1 - coords0).reshape(B * N, h, w, 2)
+            motion = jnp.clip(
+                jnp.concatenate([flow, resd], axis=-1), -64.0, 64.0
+            )
+
+            net, delta, weight, eta, upmask = self.update(
+                net, inp, corr, motion, ii_flat, B * F
+            )
+
+            target = coords1 + delta.reshape(B, N, h, w, 2)
+            weight_b = weight.reshape(B, N, h, w, 2)
+            eta_b = eta.reshape(B, F, h, w)
+
+            for _ in range(2):
+                Gs, disps = vmapped_ba(target, weight_b, eta_b, Gs, disps, intrinsics)
+
+            coords1, valid = transform(Gs, disps, intrinsics)
+            residual = valid * (target - coords1)
+
+            poses_out.append(Gs)
+            disps_out.append(
+                upsample_disp(disps.reshape(B * F, h, w), upmask).reshape(
+                    B, F, 8 * h, 8 * w
+                )
+            )
+            resid_out.append(residual.reshape(B * N, h, w, 2))
+
+        return TrainingOutputs(
+            poses=jnp.stack(poses_out),
+            disps_up=jnp.stack(disps_out),
+            residuals=jnp.stack(resid_out),
+        )
+
+
+def extract_features(params, images: Array):
+    """Functional wrapper: run feature extraction with bound params."""
+    model = DroidNet()
+    return model.apply(params, images, method=DroidNet.extract_features)
+
+
+def init_params(key, image_size: Tuple[int, int] = (64, 64)):
+    """Initialise all submodules (fnet, cnet, update incl. agg) without
+    running the full unrolled training forward."""
+    model = DroidNet()
+    h, w = image_size[0] // 8, image_size[1] // 8
+
+    def touch_all(m):
+        img = jnp.zeros((1,) + tuple(image_size) + (3,), jnp.float32)
+        fmaps, net, inp = m.extract_features(img)
+        corr = jnp.zeros((1, h, w, 196), jnp.float32)
+        flow = jnp.zeros((1, h, w, 4), jnp.float32)
+        return m.update(net, inp, corr, flow, jnp.zeros((1,), jnp.int32), 1)
+
+    return model.init(key, method=touch_all)

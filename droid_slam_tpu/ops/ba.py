@@ -338,9 +338,12 @@ class SchurPairs(NamedTuple):
         t1: int,
         window: int,
         pad_to: Optional[int] = None,
+        pad_floor: int = 16,
     ) -> "SchurPairs":
         """ii/jj: [N] host edge lists. Window rows occupy block ids [0, window);
-        edge e is block window + e. Only blocks with pose in [t0, t1) pair up."""
+        edge e is block window + e. Only blocks with pose in [t0, t1) pair up.
+        The list is padded to a power of two ≥ pad_floor so that repeated
+        graph edits reuse compiled programs."""
         N = len(ii)
         P = t1 - t0
         # block lists: source keyframe and pose per block
@@ -363,7 +366,9 @@ class SchurPairs(NamedTuple):
 
         np_total = len(pa)
         if pad_to is None:
-            pad_to = max(int(2 ** np.ceil(np.log2(max(np_total, 16)))), 16)
+            pad_to = max(
+                int(2 ** np.ceil(np.log2(max(np_total, pad_floor)))), pad_floor
+            )
         assert np_total <= pad_to, f"pair list {np_total} exceeds pad {pad_to}"
         pair_a = np.zeros(pad_to, np.int32)
         pair_b = np.zeros(pad_to, np.int32)

@@ -1,0 +1,354 @@
+"""Pod-sliced global bundle adjustment: keyframe/edge-sharded GN with a
+distributed Schur reduction.
+
+This capability has NO reference counterpart — the reference is single-GPU
+(/root/reference/README.md:31) and its global BA is bounded by one device's
+memory (the 24 GB requirement for ETH3D/TartanAir, README.md:100). Here the
+factor graph is sharded over a `jax.sharding.Mesh` axis:
+
+  * each device owns a contiguous range of keyframes and ALL edges whose
+    source frame ii falls in that range (so every depth block C_k, w_k, E_k
+    is device-local),
+  * per-edge linearisation (`ops.ba.build_edge_blocks`) runs shard-locally —
+    the O(N·HW) heavy work scales linearly with devices,
+  * the pose Hessian H, rhs v, and the Schur complement S = E Q Eᵀ are
+    computed as shard-local partial sums and combined with ONE `psum` of the
+    small [P·6, P·6] pose system over ICI,
+  * the damped Cholesky solve is replicated (it is tiny), and the depth
+    back-substitution dz = Q (w − Eᵀ dx) is again shard-local.
+
+Communication per GN iteration: one psum of P·6·(P·6+1) floats — for P = 512
+that is ~38 MB, far below ICI bandwidth; everything that scales with HW stays
+local. This is the scaling-book recipe: shard the big axis, reduce the small
+one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import ba as ba_ops
+from ..ops import lie
+from ..ops import projective as pops
+
+Array = jax.Array
+
+
+class ShardedBAPlan(NamedTuple):
+    """Host-built shard layout: edges partitioned by source-keyframe owner.
+
+    All arrays have a leading shard axis D; per-shard edge counts are padded
+    to the max across shards. Pair lists address LOCAL block ids
+    (0..Fd-1 = owned window rows, Fd..Fd+Ne-1 = local edges).
+    """
+
+    ii: np.ndarray  # [D, Ne] global frame ids
+    jj: np.ndarray  # [D, Ne]
+    valid: np.ndarray  # [D, Ne]
+    perm: np.ndarray  # [D, Ne] original edge index (for gathering target/weight)
+    f0: np.ndarray  # [D] first owned frame per shard
+    pair_a: np.ndarray  # [D, NP] local block ids
+    pair_b: np.ndarray  # [D, NP]
+    pair_valid: np.ndarray  # [D, NP]
+    frames_per_shard: int
+
+    @staticmethod
+    def build(
+        ii: np.ndarray,
+        jj: np.ndarray,
+        valid: np.ndarray,
+        n_shards: int,
+        num_frames: int,
+        t0: int,
+        t1: int,
+        pad_floor: int = 64,
+    ) -> "ShardedBAPlan":
+        fd = -(-num_frames // n_shards)  # owned frames per shard
+        owner = np.clip(ii // fd, 0, n_shards - 1)
+
+        idx_by_shard = [
+            np.nonzero(valid & (owner == s))[0] for s in range(n_shards)
+        ]
+        ne = max(
+            max((len(x) for x in idx_by_shard), default=1),
+            1,
+        )
+        ne = max(int(2 ** np.ceil(np.log2(max(ne, pad_floor)))), pad_floor)
+
+        D = n_shards
+        s_ii = np.zeros((D, ne), np.int32)
+        s_jj = np.zeros((D, ne), np.int32)
+        s_valid = np.zeros((D, ne), bool)
+        s_perm = np.zeros((D, ne), np.int32)
+        f0 = (np.arange(D) * fd).astype(np.int32)
+
+        pair_lists = []
+        for s in range(D):
+            idx = idx_by_shard[s]
+            n = len(idx)
+            s_ii[s, :n] = ii[idx]
+            s_jj[s, :n] = jj[idx]
+            s_valid[s, :n] = True
+            s_perm[s, :n] = idx
+
+            # local Schur blocks: [owned window rows (Fd)] + [local edges (ne)]
+            blk_k = np.concatenate([f0[s] + np.arange(fd), s_ii[s]])
+            blk_p = np.concatenate([f0[s] + np.arange(fd), s_jj[s]])
+            blk_ok = np.concatenate(
+                [
+                    (f0[s] + np.arange(fd) >= t0)
+                    & (f0[s] + np.arange(fd) < t1)
+                    & (f0[s] + np.arange(fd) < num_frames),
+                    s_valid[s],
+                ]
+            ) & (blk_p >= t0) & (blk_p < t1)
+
+            by_k: dict = {}
+            for b in np.nonzero(blk_ok)[0]:
+                by_k.setdefault(int(blk_k[b]), []).append(int(b))
+            pa, pb = [], []
+            for _, blks in sorted(by_k.items()):
+                for a in blks:
+                    for b in blks:
+                        pa.append(a)
+                        pb.append(b)
+            pair_lists.append((pa, pb))
+
+        np_max = max(max((len(p[0]) for p in pair_lists), default=1), 1)
+        np_max = max(int(2 ** np.ceil(np.log2(max(np_max, pad_floor)))), pad_floor)
+        pair_a = np.zeros((D, np_max), np.int32)
+        pair_b = np.zeros((D, np_max), np.int32)
+        pair_valid = np.zeros((D, np_max), bool)
+        for s, (pa, pb) in enumerate(pair_lists):
+            pair_a[s, : len(pa)] = pa
+            pair_b[s, : len(pb)] = pb
+            pair_valid[s, : len(pa)] = True
+
+        return ShardedBAPlan(
+            ii=s_ii, jj=s_jj, valid=s_valid, perm=s_perm, f0=f0,
+            pair_a=pair_a, pair_b=pair_b, pair_valid=pair_valid,
+            frames_per_shard=fd,
+        )
+
+    def shard_edge_data(self, x: np.ndarray) -> np.ndarray:
+        """Gather per-edge arrays [N, ...] into the shard layout [D, Ne, ...]."""
+        return np.asarray(x)[self.perm]
+
+
+def build_sharded_ba(
+    mesh: Mesh,
+    window: int,
+    frames_per_shard: int,
+    axis: str = "ba",
+    lm: float = 1e-5,
+    ep: float = 1e-2,
+    alpha: float = 0.05,
+):
+    """Build the jitted sharded GN iteration for a fixed mesh/window."""
+
+    n_shards = mesh.shape[axis]
+
+    def local_iteration(
+        target, weight, ii, jj, valid, pair_a, pair_b, pair_valid, f0,
+        poses, disps, intrinsics0, disps_sens, eta, t0, t1,
+    ):
+        """Runs per shard: leading shard axis of size 1 stripped inside."""
+        (target, weight, ii, jj, valid, pair_a, pair_b, pair_valid, f0) = (
+            x[0] for x in (target, weight, ii, jj, valid, pair_a, pair_b, pair_valid, f0)
+        )
+        F = poses.shape[0]
+        h, w = disps.shape[-2:]
+        hw = h * w
+        fd = frames_per_shard
+        Pw = window
+
+        intr_all = jnp.broadcast_to(intrinsics0, (F, 4))
+        blocks = ba_ops.build_edge_blocks(
+            target, weight, poses, disps, intr_all, ii, jj,
+            edge_valid=valid, min_depth=pops.MIN_DEPTH_NATIVE,
+        )
+
+        # ---- pose system: shard-local partial sums → psum ----
+        ii_r = ii - t0
+        jj_r = jj - t0
+        H = (
+            ba_ops._scatter_mat(blocks.Hii, ii_r, ii_r, Pw, Pw)
+            + ba_ops._scatter_mat(blocks.Hij, ii_r, jj_r, Pw, Pw)
+            + ba_ops._scatter_mat(blocks.Hji, jj_r, ii_r, Pw, Pw)
+            + ba_ops._scatter_mat(blocks.Hjj, jj_r, jj_r, Pw, Pw)
+        )
+        v = ba_ops._scatter_vec(blocks.vi, ii_r, Pw) + ba_ops._scatter_vec(
+            blocks.vj, jj_r, Pw
+        )
+
+        # ---- owned depth blocks (all edges for owned frames are local) ----
+        k_local = ii - f0  # [Ne] in [0, fd)
+        C_own = ba_ops._scatter_vec(blocks.Ck, k_local, fd)  # [fd, hw]
+        w_own = ba_ops._scatter_vec(blocks.wk, k_local, fd)
+        E_win = ba_ops._scatter_vec(blocks.Ei, k_local, fd)  # [fd, 6, hw]
+
+        own_frames = f0 + jnp.arange(fd)
+        own_ok = (own_frames < F)
+        safe_frames = jnp.minimum(own_frames, F - 1)
+        sens_own = disps_sens[safe_frames].reshape(fd, hw)
+        disps_own = disps[safe_frames].reshape(fd, hw)
+        eta_own = eta[safe_frames].reshape(fd, hw)
+
+        m = (sens_own > 0).astype(poses.dtype)
+        C = C_own + m * alpha + (1.0 - m) * eta_own
+        w_rhs = w_own - m * alpha * (disps_own - sens_own)
+
+        in_window = own_ok & (own_frames >= t0) & (own_frames < t1)
+        touched = (
+            jax.ops.segment_sum(
+                valid.astype(jnp.int32), jnp.clip(k_local, 0, fd - 1),
+                num_segments=fd,
+            )
+            > 0
+        )
+        in_kx = (in_window | (touched & own_ok)).astype(poses.dtype)
+        Q = in_kx[:, None] / jnp.where(C == 0.0, 1.0, C)
+
+        # ---- local Schur blocks + pair products ----
+        E_blocks = jnp.concatenate([E_win, blocks.Ej], axis=0)  # [fd+Ne, 6, hw]
+        blk_k = jnp.concatenate([jnp.arange(fd), k_local])  # local keyframe ids
+        blk_p = jnp.concatenate([own_frames, jj])
+        blk_ok = (
+            jnp.concatenate([in_window, valid])
+            & (blk_p >= t0)
+            & (blk_p < t1)
+        )
+        Qk = Q[jnp.clip(blk_k, 0, fd - 1)] * blk_ok[:, None].astype(Q.dtype)
+
+        pairs = ba_ops.SchurPairs(pair_a, pair_b, pair_valid)
+        S_pairs = ba_ops._pair_products(E_blocks, Qk, pairs)
+        pa_p = blk_p[pairs.pair_a] - t0
+        pb_p = blk_p[pairs.pair_b] - t0
+        S = ba_ops._scatter_mat(S_pairs, pa_p, pb_p, Pw, Pw)
+
+        Qw = Q * w_rhs
+        v_blocks = jnp.einsum(
+            "nak,nk->na", E_blocks, Qw[jnp.clip(blk_k, 0, fd - 1)] * blk_ok[:, None]
+        )
+        v_schur = ba_ops._scatter_vec(v_blocks, blk_p - t0, Pw)
+
+        # ---- THE collective: reduce the small pose system over the mesh ----
+        H = jax.lax.psum(H, axis)
+        v = jax.lax.psum(v, axis)
+        S = jax.lax.psum(S, axis)
+        v_schur = jax.lax.psum(v_schur, axis)
+
+        # ---- replicated damped solve ----
+        row = jnp.arange(Pw)
+        live = (row < (t1 - t0)).astype(poses.dtype)
+        live6 = jnp.repeat(live, 6)
+        Hm = H.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
+        Sm = S.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
+        A = (Hm - Sm) * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
+        eye = jnp.eye(Pw * 6, dtype=A.dtype)
+        Ad = A + (ep + lm * A) * eye * live6[:, None]
+        rhs = ((v - v_schur) * live[:, None]).reshape(Pw * 6, 1)
+        dx = ba_ops.cholesky_solve(Ad, rhs)
+        dx = dx + ba_ops.cholesky_solve(Ad, rhs - jnp.matmul(Ad, dx))
+        dx = dx.reshape(Pw, 6) * live[:, None]
+
+        # ---- shard-local depth back-substitution ----
+        dx_blocks = dx[jnp.clip(blk_p - t0, 0, Pw - 1)] * blk_ok[:, None].astype(
+            dx.dtype
+        )
+        w_corr = jnp.einsum("nak,na->nk", E_blocks, dx_blocks)  # [fd+Ne, hw]
+        w_corr_own = ba_ops._scatter_vec(w_corr, blk_k, fd)
+        dz_own = Q * (w_rhs - w_corr_own)  # [fd, hw]
+
+        # disjoint frame ownership → psum assembles the global dz exactly
+        dz = jnp.zeros((F + fd, hw), dz_own.dtype)
+        dz = jax.lax.dynamic_update_slice(dz, dz_own, (f0, 0))[:F]
+        dz = jax.lax.psum(dz, axis)
+
+        # ---- retractions (replicated) ----
+        dposes = jnp.zeros((F + Pw, 6), poses.dtype)
+        dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
+        poses = lie.retr(poses, dposes)
+        disps = jnp.clip(disps + dz.reshape(F, h, w), 0.001, None)
+        return poses[None], disps[None]
+
+    spec_e = P(axis)
+    spec_r = P()  # replicated
+    f = shard_map(
+        local_iteration,
+        mesh=mesh,
+        in_specs=(
+            spec_e, spec_e, spec_e, spec_e, spec_e,  # target/weight/ii/jj/valid
+            spec_e, spec_e, spec_e, spec_e,  # pairs + f0
+            spec_r, spec_r, spec_r, spec_r, spec_r, spec_r, spec_r,
+        ),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(plan_arrays, poses, disps, intrinsics0, disps_sens, eta, t0, t1):
+        poses_s, disps_s = f(
+            *plan_arrays, poses, disps, intrinsics0, disps_sens, eta, t0, t1
+        )
+        # all shards return identical replicas stacked on the shard axis
+        return poses_s[0], disps_s[0]
+
+    return run
+
+
+def sharded_ba_iteration(
+    mesh: Mesh,
+    plan: ShardedBAPlan,
+    target: np.ndarray,  # [N, h, w, 2] in original edge order
+    weight: np.ndarray,
+    eta: np.ndarray,  # [F, h, w]
+    poses: Array,
+    disps: Array,
+    intrinsics0: Array,
+    disps_sens: Array,
+    t0: int,
+    t1: int,
+    window: int,
+    axis: str = "ba",
+    **kw,
+) -> Tuple[Array, Array]:
+    """Convenience wrapper: place the plan on the mesh and run one iteration."""
+    run = build_sharded_ba(mesh, window, plan.frames_per_shard, axis=axis, **kw)
+
+    def put_sharded(x):
+        return jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
+        )
+
+    def put_repl(x):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+    plan_arrays = (
+        put_sharded(plan.shard_edge_data(target)),
+        put_sharded(plan.shard_edge_data(weight)),
+        put_sharded(plan.ii),
+        put_sharded(plan.jj),
+        put_sharded(plan.valid),
+        put_sharded(plan.pair_a),
+        put_sharded(plan.pair_b),
+        put_sharded(plan.pair_valid),
+        put_sharded(plan.f0),
+    )
+    return run(
+        plan_arrays,
+        put_repl(poses),
+        put_repl(disps),
+        put_repl(intrinsics0),
+        put_repl(disps_sens),
+        put_repl(eta),
+        jnp.int32(t0),
+        jnp.int32(t1),
+    )

@@ -1,0 +1,55 @@
+"""Backend: global bundle adjustment over the whole keyframe history.
+
+TPU-native equivalent of /root/reference/droid_slam/droid_backend.py (with the
+fork's missing-`device` arg bug fixed to the intended upstream behaviour —
+SURVEY §2.6). Builds a fresh low-memory factor graph capped at 16·t edges,
+adds proximity edges over all keyframes, and runs `update_lowmem`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .factor_graph import FactorGraph
+
+
+def _pow2ceil(n: int, floor: int = 64) -> int:
+    return max(int(2 ** np.ceil(np.log2(max(n, 1)))), floor)
+
+
+class DroidBackend:
+    def __init__(self, params, video, config):
+        self.params = params
+        self.video = video
+        self.config = config
+
+    def __call__(self, steps: int = 12):
+        cfg = self.config
+        v = self.video
+        t = v.counter
+
+        import jax.numpy as jnp
+
+        if not cfg.stereo and float(jnp.sum(v.disps_sens[:t])) == 0.0:
+            v.normalize()
+
+        graph = FactorGraph(
+            v,
+            self.params,
+            max_factors=_pow2ceil(16 * t),
+            inactive_pad=cfg.inactive_pad,
+            window_pad=cfg.window_pad,
+            schur_pair_floor=cfg.schur_pair_floor,
+            upsample=cfg.upsample,
+        )
+
+        graph.add_proximity_factors(
+            rad=cfg.backend_radius,
+            nms=cfg.backend_nms,
+            thresh=cfg.backend_thresh,
+            beta=cfg.beta,
+        )
+
+        graph.update_lowmem(steps=steps)
+        graph.clear_edges()
+        v.dirty[:t] = True

@@ -1,0 +1,97 @@
+"""Pose trajectory filler: recover poses of non-keyframe frames.
+
+TPU-native equivalent of /root/reference/droid_slam/trajectory_filler.py:
+per 16-frame batch, linearly interpolate SE3 poses in log space between the
+bracketing keyframes (trajectory_filler.py:50-58), extract matching features,
+temporarily append the frames to the video, attach each to its two bracketing
+keyframes, and run 6 motion-only BA iterations (trajectory_filler.py:67-72).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from .factor_graph import FactorGraph
+from .motion_filter import _encode_frame
+
+Array = jnp.ndarray
+
+
+class PoseTrajectoryFiller:
+    def __init__(self, params, video, config):
+        self.params = params
+        self.video = video
+        self.config = config
+
+    def _fill(self, tstamps: List[float], images: List, intrinsics: List) -> Array:
+        v = self.video
+        N = v.counter
+        M = len(tstamps)
+
+        ts = np.asarray(v.tstamp[:N])
+        tt = np.asarray(tstamps, np.float32)
+
+        # bracketing keyframe indices
+        t0 = np.asarray([np.sum(ts <= t) - 1 for t in tt], np.int64)
+        t0 = np.clip(t0, 0, N - 1)
+        t1 = np.where(t0 < N - 1, t0 + 1, t0)
+
+        # linear SE3 interpolation in log space
+        Ps = v.poses[:N]
+        dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3)
+        dP = lie.mul(Ps[t1], lie.inv(Ps[t0]))
+        w = lie.log(dP) / dt[:, None] * jnp.asarray(tt - ts[t0])[:, None]
+        Gs = lie.mul(lie.exp(w), Ps[t0])  # [M, 7]
+
+        # matching features for the new frames; temporary append
+        for m in range(M):
+            img = images[m]
+            if img.ndim == 3:
+                img = img[None]
+            fmap = _encode_frame(self.params, img, stereo=self.config.stereo)
+            v.append(
+                float(tt[m]), img, Gs[m], 1.0, None,
+                jnp.asarray(intrinsics[m]) / 8.0, fmap,
+                jnp.zeros_like(v.nets[0]), jnp.zeros_like(v.inps[0]),
+            )
+
+        graph = FactorGraph(
+            v,
+            {"params": self.params["params"]["update"]},
+            max_factors=max(2 * M, 32),
+            inactive_pad=8,
+            window_pad=max(32, M),
+            schur_pair_floor=self.config.schur_pair_floor,
+        )
+        graph.add_factors(t0.astype(np.int32), np.arange(N, N + M, dtype=np.int32))
+        graph.add_factors(t1.astype(np.int32), np.arange(N, N + M, dtype=np.int32))
+
+        for _ in range(6):
+            graph.update(N, N + M, motion_only=True)
+
+        out = v.poses[N : N + M]
+        v.counter = N  # pop the temporary frames
+        return out
+
+    def __call__(self, image_stream: Iterable) -> np.ndarray:
+        """image_stream yields (tstamp, image, intrinsics). Returns the full
+        camera-to-world trajectory [T, 7] (the reference returns
+        trajectory.inv(), droid.py:89)."""
+        pose_list = []
+        tstamps, images, intrinsics = [], [], []
+        for (tstamp, image, intrinsic) in image_stream:
+            tstamps.append(tstamp)
+            images.append(image)
+            intrinsics.append(intrinsic)
+            if len(tstamps) == 16:
+                pose_list.append(self._fill(tstamps, images, intrinsics))
+                tstamps, images, intrinsics = [], [], []
+        if tstamps:
+            pose_list.append(self._fill(tstamps, images, intrinsics))
+
+        traj = jnp.concatenate(pose_list, axis=0)
+        return np.asarray(lie.inv(traj))

@@ -1,0 +1,198 @@
+"""Keyframe video buffer: fixed-capacity device-resident SLAM state.
+
+TPU-native equivalent of /root/reference/droid_slam/depth_video.py. The
+reference preallocates a ring of shared-memory CUDA tensors guarded by a
+multiprocessing lock; here the same layout is a set of HBM arrays owned by a
+single host object — static capacity is exactly what XLA's static-shape world
+wants, and the single-writer runtime needs no lock. Updates go through small
+jitted kernels with donated buffers so XLA performs them in place.
+
+Conventions (identical to the reference, depth_video.py:24-45):
+  * poses [B, 7] world→camera SE3 (t, q_xyzw), identity-initialised
+  * disps [B, h, w] inverse depth at 1/8 resolution, init 1.0
+  * disps_sens: RGB-D prior — input depth subsampled at pixel (3::8, 3::8)
+    and inverted where valid (depth_video.py:67-69)
+  * intrinsics [B, 4] = (fx, fy, cx, cy) at 1/8 resolution
+  * fmaps/nets/inps: matching features, GRU hidden init, context features
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from ..ops import projective as pops
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_slot(buf: Array, idx, value):
+    return buf.at[idx].set(value)
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "wd"))
+def _depth_to_disp_sens(depth: Array, ht: int, wd: int) -> Array:
+    """Input depth [H, W] → inverse-depth prior at 1/8 res (3::8 sampling)."""
+    d = depth[3::8, 3::8][:ht, :wd]
+    return jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+
+
+@jax.jit
+def _frame_distance(
+    poses: Array, disps: Array, intrinsics0: Array, ii: Array, jj: Array, beta: Array
+) -> Array:
+    """Mean induced-flow magnitude per frame pair, blending full-SE3 flow with
+    translation-only flow by beta; 1000.0 where <75% of pixels land in front
+    of the camera (src/droid_kernels_cpu.cc:389-472)."""
+    ht, wd = disps.shape[-2:]
+    grid = pops.coords_grid(ht, wd)
+
+    Gij = pops.relative_poses(poses, ii, jj)
+    X0 = pops.iproj(jnp.take(disps, ii, axis=0), jnp.broadcast_to(intrinsics0, ii.shape + (4,)))
+
+    fx, fy, cx, cy = intrinsics0
+
+    def flow_mag(X1):
+        Z = X1[..., 2]
+        u = fx * X1[..., 0] / Z + cx
+        v = fy * X1[..., 1] / Z + cy
+        d = jnp.sqrt((u - grid[..., 0]) ** 2 + (v - grid[..., 1]) ** 2)
+        ok = (Z > pops.MIN_DEPTH_NATIVE).astype(d.dtype)
+        return d, ok
+
+    # full SE3 flow
+    X1 = lie.act(Gij[:, None, None, :], X0)
+    d1, ok1 = flow_mag(X1)
+    # translation-only flow
+    X1t = X0.at[..., :3].add(X0[..., 3:4] * lie.translation(Gij)[:, None, None, :])
+    d2, ok2 = flow_mag(X1t)
+
+    accum = beta * jnp.sum(d1 * ok1, axis=(1, 2)) + (1 - beta) * jnp.sum(d2 * ok2, axis=(1, 2))
+    valid = beta * jnp.sum(ok1, axis=(1, 2)) + (1 - beta) * jnp.sum(ok2, axis=(1, 2))
+    total = float(ht * wd)
+    frac = valid / (total + 1e-8)
+    return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
+
+
+@jax.jit
+def _reproject(poses, disps, intrinsics, ii, jj):
+    return pops.projective_transform(poses, disps, intrinsics, ii, jj)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _normalize(poses: Array, disps: Array, count: Array):
+    """Fix the monocular gauge: unit mean inverse depth (depth_video.py:132-139)."""
+    live = (jnp.arange(disps.shape[0]) < count).astype(disps.dtype)
+    s = jnp.sum(disps * live[:, None, None]) / (
+        jnp.maximum(count, 1) * disps.shape[1] * disps.shape[2]
+    )
+    disps = jnp.where(live[:, None, None] > 0, disps / s, disps)
+    t = jnp.where(live[:, None] > 0, poses[:, :3] * s, poses[:, :3])
+    poses = jnp.concatenate([t, poses[:, 3:]], axis=-1)
+    return poses, disps
+
+
+class VideoState:
+    """Host-owned handle to the device-resident keyframe buffers."""
+
+    def __init__(self, config):
+        B = config.buffer
+        H, W = config.image_size
+        h, w = config.feat_size
+        self.config = config
+        self.counter = 0  # host-side keyframe count (single-writer runtime)
+
+        self.tstamp = jnp.zeros((B,), jnp.float32)
+        self.images = jnp.zeros((B, H, W, 3), jnp.uint8)
+        self.dirty = np.zeros((B,), bool)  # host flag for the visualizer
+        self.poses = jnp.tile(lie.identity((1,)), (B, 1))
+        self.disps = jnp.ones((B, h, w), jnp.float32)
+        self.disps_sens = jnp.zeros((B, h, w), jnp.float32)
+        self.disps_up = jnp.zeros((B, H, W), jnp.float32)
+        self.intrinsics = jnp.zeros((B, 4), jnp.float32)
+
+        rig = 2 if config.stereo else 1
+        self.fmaps = jnp.zeros((B, rig, h, w, 128), jnp.float32)
+        self.nets = jnp.zeros((B, h, w, 128), jnp.float32)
+        self.inps = jnp.zeros((B, h, w, 128), jnp.float32)
+
+    # ------------------------------------------------------------------ state
+
+    def append(
+        self,
+        tstamp: float,
+        image: Array,  # [H, W, 3] uint8 RGB (or [rig, H, W, 3] stereo)
+        pose: Optional[Array],
+        disp: Optional[float],
+        depth: Optional[Array],
+        intrinsics: Array,  # [4] at 1/8 resolution
+        fmap: Array,  # [rig, h, w, 128]
+        net: Array,
+        inp: Array,
+    ) -> int:
+        """Write a new keyframe at the current counter (depth_video.py:109-112)."""
+        ix = self.counter
+        h, w = self.config.feat_size
+        self.tstamp = _set_slot(self.tstamp, ix, jnp.float32(tstamp))
+        img = image[0] if image.ndim == 4 else image
+        self.images = _set_slot(self.images, ix, img.astype(jnp.uint8))
+        if pose is not None:
+            self.poses = _set_slot(self.poses, ix, pose)
+        if disp is not None:
+            self.disps = _set_slot(
+                self.disps, ix, jnp.full((h, w), disp, jnp.float32)
+            )
+        if depth is not None:
+            self.disps_sens = _set_slot(
+                self.disps_sens, ix, _depth_to_disp_sens(depth, h, w)
+            )
+        self.intrinsics = _set_slot(self.intrinsics, ix, intrinsics)
+        self.fmaps = _set_slot(self.fmaps, ix, fmap)
+        self.nets = _set_slot(self.nets, ix, net)
+        self.inps = _set_slot(self.inps, ix, inp)
+        self.counter = ix + 1
+        self.dirty[ix] = True
+        return ix
+
+    def set_pose(self, ix: int, pose: Array):
+        self.poses = _set_slot(self.poses, ix, pose)
+
+    def set_disp(self, ix: int, disp: Array):
+        self.disps = _set_slot(self.disps, ix, disp)
+
+    # -------------------------------------------------------------- geometry
+
+    def reproject(self, ii, jj) -> Tuple[Array, Array]:
+        """Map pixels of keyframes ii into keyframes jj (depth_video.py:142-150)."""
+        return _reproject(
+            self.poses, self.disps, self.intrinsics,
+            jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+        )
+
+    def distance(self, ii, jj, beta: float = 0.3, bidirectional: bool = True) -> np.ndarray:
+        """Flow-magnitude distance between keyframe pairs (depth_video.py:152-188)."""
+        ii = jnp.asarray(ii, jnp.int32)
+        jj = jnp.asarray(jj, jnp.int32)
+        b = jnp.float32(beta)
+        d1 = _frame_distance(self.poses, self.disps, self.intrinsics[0], ii, jj, b)
+        if bidirectional:
+            d2 = _frame_distance(self.poses, self.disps, self.intrinsics[0], jj, ii, b)
+            d1 = 0.5 * (d1 + d2)
+        return np.asarray(d1)
+
+    def distance_matrix(self, t: int, beta: float = 0.3) -> np.ndarray:
+        ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta, bidirectional=True)
+        return d.reshape(t, t)
+
+    def normalize(self):
+        self.poses, self.disps = _normalize(
+            self.poses, self.disps, jnp.int32(self.counter)
+        )
+        self.dirty[: self.counter] = True

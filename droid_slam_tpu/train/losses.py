@@ -1,0 +1,135 @@
+"""Training losses (JAX): geodesic pose loss, BA-residual loss, flow loss.
+
+TPU-native equivalent of /root/reference/droid_slam/geom/losses.py. All
+functions take the per-step stacked outputs of `DroidNet.__call__`
+([S, B, ...]) and return (scalar loss, metrics dict of scalars); the unroll
+dimension is weighted by gamma^(S−1−s) (losses.py:42,83,106).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from ..ops import projective as pops
+
+Array = jax.Array
+
+
+def _step_weights(n: int, gamma: float) -> Array:
+    return gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+
+
+def _relative(poses: Array, ii: Array, jj: Array) -> Array:
+    """dP = P[jj] ∘ P[ii]⁻¹ along the frame axis (axis -2)."""
+    Pi = jnp.take(poses, ii, axis=-2)
+    Pj = jnp.take(poses, jj, axis=-2)
+    return lie.mul(Pj, lie.inv(Pi))
+
+
+def fit_scale(dP: Array, dG: Array) -> Array:
+    """Least-squares translation scale between relative-pose sets
+    (losses.py:21-27). dP/dG: [B, N, 7] → [B]."""
+    t1 = dP[..., :3].reshape(dP.shape[0], -1)
+    t2 = dG[..., :3].reshape(dG.shape[0], -1)
+    return jnp.sum(t1 * t2, axis=-1) / (jnp.sum(t2 * t2, axis=-1) + 1e-8)
+
+
+def geodesic_loss(
+    Ps: Array,  # [B, F, 7] ground-truth poses
+    Gs_steps: Array,  # [S, B, F, 7] per-step estimates
+    ii: Array,
+    jj: Array,
+    gamma: float = 0.9,
+    do_scale: bool = True,
+) -> Tuple[Array, Dict[str, Array]]:
+    """γ-weighted relative-pose geodesic distance (losses.py:30-74), with an
+    optional per-sample scale fit for the monocular gauge."""
+    S = Gs_steps.shape[0]
+    dP = _relative(Ps, ii, jj)  # [B, N, 7]
+    w = _step_weights(S, gamma)
+
+    def one_step(Gs):
+        dG = _relative(Gs, ii, jj)
+        if do_scale:
+            s = jax.lax.stop_gradient(fit_scale(dP, dG))
+            dG = jnp.concatenate(
+                [dG[..., :3] * s[:, None, None], dG[..., 3:]], axis=-1
+            )
+        d = lie.log(lie.mul(dG, lie.inv(dP)))  # [B, N, 6]
+        tau = jnp.linalg.norm(d[..., :3], axis=-1)
+        phi = jnp.linalg.norm(d[..., 3:], axis=-1)
+        return jnp.mean(tau) + jnp.mean(phi), (tau, phi)
+
+    losses, (taus, phis) = jax.vmap(one_step)(Gs_steps)
+    total = jnp.sum(w * losses)
+
+    r_err = (180.0 / np.pi) * phis[-1]
+    t_err = taus[-1]
+    metrics = {
+        "rot_error": jnp.mean(r_err),
+        "tr_error": jnp.mean(t_err),
+        "bad_rot": jnp.mean((r_err < 0.1).astype(jnp.float32)),
+        "bad_tr": jnp.mean((t_err < 0.01).astype(jnp.float32)),
+    }
+    return total, metrics
+
+
+def residual_loss(residuals: Array, gamma: float = 0.9) -> Tuple[Array, Dict]:
+    """γ-weighted mean |BA flow residual| (losses.py:77-86).
+    residuals: [S, ...]."""
+    S = residuals.shape[0]
+    w = _step_weights(S, gamma)
+    per_step = jnp.mean(jnp.abs(residuals.reshape(S, -1)), axis=-1)
+    total = jnp.sum(w * per_step)
+    return total, {"residual": total}
+
+
+def flow_loss(
+    Ps: Array,  # [B, F, 7] GT poses
+    disps: Array,  # [B, F, h, w] GT inverse depth (1/8 res)
+    poses_steps: Array,  # [S, B, F, 7]
+    disps_steps: Array,  # [S, B, F, h, w] estimated (1/8 res)
+    intrinsics: Array,  # [B, F, 4] (1/8 res)
+    gamma: float = 0.9,
+) -> Tuple[Array, Dict]:
+    """End-point-error of induced flow vs GT on the adjacent-frame graph
+    (losses.py:89-118)."""
+    S = poses_steps.shape[0]
+    F = Ps.shape[1]
+    ii, jj = [], []
+    for a in range(F):
+        for b in range(F):
+            if abs(a - b) == 1:
+                ii.append(a)
+                jj.append(b)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+
+    transform = jax.vmap(lambda p, d, k: pops.projective_transform(p, d, k, ii, jj))
+    coords0, val0 = transform(Ps, disps, intrinsics)
+    val0 = val0 * (jnp.take(disps, ii, axis=1) > 0).astype(val0.dtype)[..., None]
+
+    w = _step_weights(S, gamma)
+
+    def one_step(Gs, ds):
+        coords1, val1 = transform(Gs, ds, intrinsics)
+        v = (val0 * val1)[..., 0]
+        epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+        return jnp.mean(epe), (epe, v)
+
+    losses, (epes, vs) = jax.vmap(one_step)(poses_steps, disps_steps)
+    total = jnp.sum(w * losses)
+
+    last_epe = epes[-1].reshape(-1)
+    last_v = vs[-1].reshape(-1) > 0.5
+    denom = jnp.maximum(jnp.sum(last_v), 1.0)
+    metrics = {
+        "f_error": jnp.sum(jnp.where(last_v, last_epe, 0.0)) / denom,
+        "1px": jnp.sum(jnp.where(last_v & (last_epe < 1.0), 1.0, 0.0)) / denom,
+    }
+    return total, metrics

@@ -1,0 +1,156 @@
+"""Training step and loop: unrolled DroidNet forward → differentiable DBA →
+three losses → Adam + OneCycle, data-parallel over a device mesh.
+
+TPU-native equivalent of /root/reference/train.py (the reference trains with
+torch DDP/NCCL, one process per GPU, train.py:28-36; here a single process
+jits the step over a `jax.sharding.Mesh` data axis and XLA inserts the
+gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.droid_net import DroidNet
+from ..ops import lie
+from . import losses as L
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 2.5e-4  # train.py:156
+    steps: int = 250000
+    n_frames: int = 7
+    num_iters: int = 15  # unroll steps (train.py:161)
+    fixedp: int = 2
+    clip: float = 2.5  # grad-norm clip (train.py:125,160)
+    weight_decay: float = 1e-5
+    w1: float = 10.0  # geodesic (train.py:163)
+    w2: float = 0.01  # residual
+    w3: float = 0.05  # flow
+    restart_prob: float = 0.2
+    pct_start: float = 0.01
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=cfg.steps,
+        peak_value=cfg.lr,
+        pct_start=cfg.pct_start,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_state(params, cfg: TrainConfig):
+    tx = make_optimizer(cfg)
+    return {"params": params, "opt_state": tx.init(params["params"]), "step": jnp.int32(0)}
+
+
+def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
+    """Build the jitted train step for a fixed edge graph (the reference
+    randomises graphs per batch; distinct graphs produce distinct compiled
+    variants, cached by (graph shape) — pass padded graphs to bound this)."""
+    model = DroidNet()
+    tx = make_optimizer(cfg)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+
+    def loss_fn(params, batch):
+        images = batch["images"]  # [B, F, H, W, 3] RGB uint8/float
+        Ps = batch["poses"]  # [B, F, 7] GT world→camera
+        disps_gt = batch["disps"]  # [B, F, H, W] GT inverse depth (full res)
+        intrinsics = batch["intrinsics"]  # [B, F, 4] full-res
+        Gs0 = batch["poses_init"]  # [B, F, 7]
+        disp0 = batch["disps_init"]  # [B, F, h, w]
+
+        out = model.apply(
+            params, Gs0, images, disp0, intrinsics / 8.0, ii, jj,
+            num_steps=cfg.num_iters, fixedp=cfg.fixedp,
+        )
+
+        geo, geo_m = L.geodesic_loss(Ps, out.poses, ii, jj, do_scale=False)
+        res, res_m = L.residual_loss(out.residuals)
+        disps_gt8 = disps_gt[:, :, 3::8, 3::8]
+        flo, flo_m = L.flow_loss(
+            Ps, disps_gt8, out.poses,
+            out.disps_up[:, :, :, 3::8, 3::8],
+            intrinsics / 8.0,
+        )
+        total = cfg.w1 * geo + cfg.w2 * res + cfg.w3 * flo
+        metrics = {"loss": total, **geo_m, **res_m, **flo_m}
+        return total, (metrics, out)
+
+    @jax.jit
+    def train_step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, out)), grads = grad_fn(state["params"], batch)
+        updates, opt_state = tx.update(
+            grads["params"], state["opt_state"], state["params"]["params"]
+        )
+        params = {"params": optax.apply_updates(state["params"]["params"], updates)}
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics, out
+
+    return train_step
+
+
+def make_initial_batch(
+    rng: np.random.Generator,
+    batch: int,
+    n_frames: int,
+    image_size: Tuple[int, int],
+):
+    """Synthetic batch with the trainer's initialisation conventions
+    (train.py:95-101): Gs starts at [P0, P1, P1, ...], disp0 = 1."""
+    H, W = image_size
+    h, w = H // 8, W // 8
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (batch, n_frames, 1))
+    tw = 0.03 * rng.standard_normal((batch, n_frames, 6)).astype(np.float32)
+    poses = np.asarray(lie.retr(jnp.asarray(poses), jnp.asarray(tw)))
+
+    init = poses.copy()
+    init[:, 1:] = init[:, 1:2]
+
+    return {
+        "images": rng.integers(0, 255, (batch, n_frames, H, W, 3)).astype(np.uint8),
+        "poses": poses,
+        "disps": (0.5 + rng.random((batch, n_frames, H, W))).astype(np.float32),
+        "intrinsics": np.tile(
+            np.array([W, W, W / 2, H / 2], np.float32), (batch, n_frames, 1)
+        ),
+        "poses_init": init,
+        "disps_init": np.ones((batch, n_frames, h, w), np.float32),
+    }
+
+
+def shard_batch_for_mesh(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch on the mesh, sharded over the leading (batch) axis
+    of every array — the data-parallel layout."""
+    def put(x):
+        spec = P("dp", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_for_mesh(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

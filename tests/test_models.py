@@ -1,0 +1,157 @@
+"""Network module tests: shapes, cvx-upsample oracle, grad-clip, and — when
+the reference tree is present — weight-conversion parity against the torch
+encoder/GRU (the torch modules act as the oracle, mirroring the reference's
+CPU-as-oracle test pattern, /root/reference/tests/test_droid_backends.py:8).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from droid_slam_tpu.models import (
+    BasicEncoder,
+    ConvGRU,
+    DroidNet,
+    UpdateModule,
+    cvx_upsample,
+)
+from droid_slam_tpu.models.update import grad_clip
+from droid_slam_tpu.models.weights import torch_state_dict_to_flax
+
+rng = np.random.default_rng(5432)
+
+REFERENCE = "/root/reference/droid_slam"
+
+
+def test_encoder_shapes():
+    enc = BasicEncoder(output_dim=128, norm_fn="instance")
+    x = jnp.asarray(rng.standard_normal((2, 48, 64, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (2, 6, 8, 128)
+
+
+def test_update_module_shapes():
+    upd = UpdateModule()
+    n, h, w = 3, 6, 8
+    net = jnp.asarray(rng.standard_normal((n, h, w, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.standard_normal((n, h, w, 128)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((n, h, w, 196)).astype(np.float32))
+    flow = jnp.asarray(rng.standard_normal((n, h, w, 4)).astype(np.float32))
+    ii = jnp.asarray([0, 1, 1], jnp.int32)
+    params = upd.init(jax.random.PRNGKey(0), net, inp, corr, flow, ii, 4)
+    net2, delta, weight, eta, upmask = upd.apply(params, net, inp, corr, flow, ii, 4)
+    assert net2.shape == (n, h, w, 128)
+    assert delta.shape == (n, h, w, 2)
+    assert weight.shape == (n, h, w, 2)
+    assert float(weight.min()) >= 0.0 and float(weight.max()) <= 1.0
+    assert eta.shape == (4, h, w)
+    assert float(eta.min()) >= 0.0  # softplus × 0.01
+    assert upmask.shape == (4, h, w, 576)
+
+
+def test_cvx_upsample_uniform_mask_averages_neighborhood():
+    """With a uniform mask, every output pixel must be the mean of the 3×3
+    neighborhood of its parent cell (softmax of zeros = 1/9 each)."""
+    b, ht, wd = 1, 4, 4
+    data = jnp.asarray(rng.standard_normal((b, ht, wd, 1)).astype(np.float32))
+    mask = jnp.zeros((b, ht, wd, 9 * 64), jnp.float32)
+    up = np.asarray(cvx_upsample(data, mask))
+    assert up.shape == (b, 8 * ht, 8 * wd, 1)
+
+    d = np.asarray(data)[0, ..., 0]
+    pad = np.pad(d, 1)
+    for y in range(ht):
+        for x in range(wd):
+            want = pad[y : y + 3, x : x + 3].mean()
+            block = up[0, 8 * y : 8 * y + 8, 8 * x : 8 * x + 8, 0]
+            assert np.abs(block - want).max() < 1e-5
+
+
+def test_cvx_upsample_onehot_mask_selects_neighbor():
+    """A strongly peaked mask on tap k must copy that neighbor's value."""
+    b, ht, wd = 1, 3, 3
+    data = jnp.asarray(np.arange(9, dtype=np.float32).reshape(1, 3, 3, 1))
+    mask = np.full((b, ht, wd, 9, 8, 8), -1e9, np.float32)
+    k = 5  # (dy, dx) = (0, +1) → right neighbor
+    mask[..., k, :, :] = 0.0
+    up = np.asarray(cvx_upsample(data, jnp.asarray(mask.reshape(b, ht, wd, -1))))
+    # center cell (1,1): right neighbor is (1,2) = 5.0
+    assert np.abs(up[0, 8:16, 8:16, 0] - 5.0).max() < 1e-5
+
+
+def test_grad_clip():
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32))
+
+    def f(x):
+        return jnp.sum(grad_clip(x) * jnp.asarray([0.005, 0.02, 1.0]))
+
+    g = np.asarray(jax.grad(f)(x))
+    assert np.allclose(g, [0.005, 0.0, 0.0])  # |g| > 0.01 zeroed
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
+def test_encoder_parity_with_torch_reference():
+    """Convert random torch weights and require <1e-4 L∞ agreement with the
+    torch forward — validates conv layout, padding, norm and residual wiring."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, REFERENCE)
+    from modules.extractor import BasicEncoder as TorchEncoder  # type: ignore
+
+    torch.manual_seed(0)
+    tenc = TorchEncoder(output_dim=32, norm_fn="instance").eval()
+    state = {f"fnet.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    params = torch_state_dict_to_flax(state)
+
+    x = rng.standard_normal((2, 1, 3, 48, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tenc(torch.from_numpy(x)).numpy()[:, 0]  # [B, C, h, w]
+
+    enc = BasicEncoder(output_dim=32, norm_fn="instance")
+    got = enc.apply(
+        {"params": params["params"]["fnet"]},
+        jnp.asarray(x[:, 0].transpose(0, 2, 3, 1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    # relative tolerance: 8 stacked f32 convs accumulate ~1e-4 absolute on
+    # O(10) activations between XLA and torch (different summation orders)
+    rel = np.abs(got - want) / (1.0 + np.abs(want))
+    assert rel.max() < 1e-4, rel.max()
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
+def test_gru_parity_with_torch_reference():
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, REFERENCE)
+    from modules.gru import ConvGRU as TorchGRU  # type: ignore
+
+    torch.manual_seed(1)
+    tgru = TorchGRU(h_planes=32, i_planes=48).eval()
+    state = {f"update.gru.{k}": v.detach().numpy() for k, v in tgru.state_dict().items()}
+    params = torch_state_dict_to_flax(state)
+
+    net = rng.standard_normal((2, 32, 6, 8)).astype(np.float32)
+    inp = rng.standard_normal((2, 48, 6, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tgru(torch.from_numpy(net), torch.from_numpy(inp)).numpy()
+
+    gru = ConvGRU(h_planes=32)
+    got = gru.apply(
+        {"params": params["params"]["update"]["gru"]},
+        jnp.asarray(net.transpose(0, 2, 3, 1)),
+        jnp.asarray(inp.transpose(0, 2, 3, 1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert np.abs(got - want).max() < 1e-4
+
+
+if __name__ == "__main__":
+    pytest.main(["-x", __file__, "-q"])

@@ -1,0 +1,75 @@
+"""End-to-end runtime smoke tests on a tiny synthetic sequence.
+
+With randomly-initialised weights the SLAM estimates are meaningless, but the
+full pipeline — motion filter → frontend init/update (graph edits, keyframe
+culling, sliding-window DBA) → backend global BA → trajectory filler — must
+run, keep static shapes, and produce finite state. This exercises the entire
+host/device protocol that the reference only tests implicitly by running
+demos (SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from droid_slam_tpu.runtime import Droid, DroidConfig
+
+rng = np.random.default_rng(5432)
+
+
+def make_config():
+    return DroidConfig(
+        image_size=(64, 64),
+        buffer=32,
+        warmup=4,
+        max_factors=16,
+        inactive_pad=16,
+        window_pad=16,
+        schur_pair_floor=512,
+        filter_thresh=-1.0,  # random weights: force every frame to keyframe
+        keyframe_thresh=0.0,  # and never cull (distance is arbitrary)
+        frontend_window=8,
+        frontend_thresh=1e9,  # accept any proximity edge the NMS allows
+        backend_thresh=1e9,
+    )
+
+
+def frame_stream(n=8, hw=64):
+    for t in range(n):
+        img = rng.integers(0, 255, (hw, hw, 3), np.uint8)
+        intr = np.array([hw, hw, hw / 2, hw / 2], np.float32)
+        yield t, jnp.asarray(img), jnp.asarray(intr)
+
+
+@pytest.fixture(scope="module")
+def droid():
+    return Droid(make_config())
+
+
+def test_track_and_terminate(droid):
+    stream = list(frame_stream(8))
+    for (t, img, intr) in stream:
+        droid.track(t, img, intrinsics=intr)
+
+    v = droid.video
+    assert v.counter >= droid.config.warmup
+    assert droid.frontend.is_initialized
+    poses = np.asarray(v.poses[: v.counter])
+    disps = np.asarray(v.disps[: v.counter])
+    assert np.all(np.isfinite(poses))
+    assert np.all(np.isfinite(disps))
+    # quaternions stay normalised through the retractions
+    qn = np.linalg.norm(poses[:, 3:], axis=-1)
+    assert np.abs(qn - 1).max() < 1e-3
+
+    t = v.counter
+    traj = droid.terminate(iter(stream))
+    assert traj.shape == (8, 7)
+    assert np.all(np.isfinite(traj))
+    # terminate must restore the keyframe counter after the temporary appends
+    assert v.counter == t
+
+
+if __name__ == "__main__":
+    pytest.main(["-x", __file__, "-q"])
