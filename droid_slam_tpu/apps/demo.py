@@ -1,0 +1,123 @@
+"""SLAM demo on an image directory (or a synthetic stream for smoke-driving).
+
+TPU-native equivalent of /root/reference/demo.py: stream calibrated images,
+track, terminate with global BA, optionally save the reconstruction
+(tstamps / images / disps / poses / intrinsics as .npy — demo.py:64-81).
+
+Usage:
+  python -m droid_slam_tpu.apps.demo --imagedir <dir> --calib <calib.txt>
+      [--weights droid.pth|params.msgpack] [--stride 3] [--buffer 512]
+      [--reconstruction_path out]
+  python -m droid_slam_tpu.apps.demo --synthetic    # no data needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def save_reconstruction(droid, path: str):
+    """Export the keyframe map (demo.py:64-81)."""
+    t = droid.video.counter
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "tstamps.npy"), np.asarray(droid.video.tstamp[:t]))
+    np.save(os.path.join(path, "images.npy"), np.asarray(droid.video.images[:t]))
+    np.save(os.path.join(path, "disps.npy"), np.asarray(droid.video.disps_up[:t]))
+    np.save(os.path.join(path, "poses.npy"), np.asarray(droid.video.poses[:t]))
+    np.save(
+        os.path.join(path, "intrinsics.npy"), np.asarray(droid.video.intrinsics[:t])
+    )
+
+
+def synthetic_stream(n=24, H=64, W=64, seed=0):
+    rng = np.random.default_rng(seed)
+    intr = np.array([W, W, W / 2, H / 2], np.float32)
+    for t in range(n):
+        yield t, rng.integers(0, 255, (H, W, 3), np.uint8), intr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--imagedir", type=str, help="path to image directory")
+    parser.add_argument("--calib", type=str, help="path to calibration file")
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--buffer", type=int, default=512)
+    parser.add_argument("--image_size", default=[240, 320], nargs=2, type=int)
+    parser.add_argument("--stride", default=3, type=int)
+    parser.add_argument("--filter_thresh", type=float, default=2.4)
+    parser.add_argument("--warmup", type=int, default=8)
+    parser.add_argument("--keyframe_thresh", type=float, default=4.0)
+    parser.add_argument("--frontend_thresh", type=float, default=16.0)
+    parser.add_argument("--frontend_window", type=int, default=25)
+    parser.add_argument("--frontend_radius", type=int, default=2)
+    parser.add_argument("--frontend_nms", type=int, default=1)
+    parser.add_argument("--backend_thresh", type=float, default=22.0)
+    parser.add_argument("--backend_radius", type=int, default=2)
+    parser.add_argument("--backend_nms", type=int, default=3)
+    parser.add_argument("--upsample", action="store_true")
+    parser.add_argument("--reconstruction_path", default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="run on random frames (pipeline smoke drive)")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from ..runtime import Droid, DroidConfig
+    from ..data.streams import image_stream
+
+    if args.synthetic:
+        stream = list(synthetic_stream())
+        h, w = stream[0][1].shape[:2]
+        config = DroidConfig(
+            image_size=(h, w), buffer=64, warmup=4, max_factors=16,
+            inactive_pad=16, window_pad=16, schur_pair_floor=512,
+            filter_thresh=-1.0, keyframe_thresh=0.0,
+            frontend_window=8, frontend_thresh=1e9, backend_thresh=1e9,
+        )
+    else:
+        stream = list(image_stream(args.imagedir, args.calib, args.stride))
+        h, w = stream[0][1].shape[:2]
+        config = DroidConfig(
+            image_size=(h, w),
+            buffer=args.buffer,
+            filter_thresh=args.filter_thresh,
+            warmup=args.warmup,
+            keyframe_thresh=args.keyframe_thresh,
+            frontend_thresh=args.frontend_thresh,
+            frontend_window=args.frontend_window,
+            frontend_radius=args.frontend_radius,
+            frontend_nms=args.frontend_nms,
+            backend_thresh=args.backend_thresh,
+            backend_radius=args.backend_radius,
+            backend_nms=args.backend_nms,
+            upsample=args.upsample,
+        )
+
+    droid = Droid(config, weights=args.weights)
+
+    t_track0 = time.perf_counter()
+    for (t, image, intrinsics) in stream:
+        droid.track(t, jnp.asarray(image), intrinsics=jnp.asarray(intrinsics))
+    t_track = time.perf_counter() - t_track0
+
+    t_term0 = time.perf_counter()
+    traj = droid.terminate(iter(stream))
+    t_term = time.perf_counter() - t_term0
+
+    print(f"tracked {len(stream)} frames / {droid.video.counter} keyframes")
+    print(f"timings: track {t_track:.2f}s ({len(stream)/t_track:.2f} fps), "
+          f"terminate {t_term:.2f}s")
+    print("trajectory (first 5 poses, tx ty tz qx qy qz qw):")
+    print(np.array2string(traj[:5], precision=4, suppress_small=True))
+
+    if args.reconstruction_path:
+        save_reconstruction(droid, args.reconstruction_path)
+        print(f"saved reconstruction to {args.reconstruction_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Evaluation runner for the four reference protocols.
+
+TPU-native equivalent of /root/reference/evaluation_scripts/test_{tum,euroc,
+eth3d}.py and validate_tartanair.py, with the `evo` dependency replaced by
+the in-repo Umeyama/ATE scorer (droid_slam_tpu.eval.ate). Protocols:
+
+  tum:       stride 2, mono, APE align + scale-correct (test_tum.py:106-119)
+  euroc:     track stride 2, fill stride 1, positions ×1.10, APE align+scale
+             (test_euroc.py:111-138)
+  eth3d:     RGB-D (depth/5000), APE align, NO scale correction
+             (test_eth3d.py:94-131)
+  tartanair: 384×512, scale-corrected ATE (validate_tartanair.py:64-100)
+
+Usage:
+  python -m droid_slam_tpu.apps.evaluate --dataset tum --datapath <seq>
+      [--weights ...] [--gt groundtruth.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def run_slam(config, weights, track_stream, fill_stream):
+    import jax.numpy as jnp
+
+    from ..runtime import Droid
+
+    droid = Droid(config, weights=weights)
+    for item in track_stream:
+        if len(item) == 4:
+            t, image, depth, intrinsics = item
+            droid.track(
+                t, jnp.asarray(image), depth=jnp.asarray(depth),
+                intrinsics=jnp.asarray(intrinsics),
+            )
+        else:
+            t, image, intrinsics = item
+            droid.track(t, jnp.asarray(image), intrinsics=jnp.asarray(intrinsics))
+
+    return droid.terminate(iter(fill_stream)), droid
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", required=True,
+                        choices=["tum", "euroc", "eth3d", "tartanair"])
+    parser.add_argument("--datapath", required=True)
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--gt", default=None, help="ground-truth file (TUM format)")
+    parser.add_argument("--stereo", action="store_true")
+    parser.add_argument("--depth", action="store_true", help="eth3d: use RGB-D")
+    parser.add_argument("--save_traj", default=None)
+    args = parser.parse_args()
+
+    from ..data import streams
+    from ..eval.ate import Trajectory, ate_rmse
+    from ..runtime.config import preset
+
+    if args.dataset == "tum":
+        track = list(streams.tum_stream(args.datapath, stride=2))
+        fill = track
+        config = preset("tum")
+        scale_correct, pos_scale = True, 1.0
+        gt = args.gt or f"{args.datapath}/groundtruth.txt"
+    elif args.dataset == "euroc":
+        track = list(streams.euroc_stream(args.datapath, stereo=args.stereo, stride=2))
+        fill = list(streams.euroc_stream(args.datapath, stereo=False, stride=1))
+        config = preset("euroc", stereo=args.stereo)
+        scale_correct, pos_scale = True, 1.10
+        gt = args.gt
+    elif args.dataset == "eth3d":
+        track = list(streams.eth3d_stream(args.datapath, use_depth=args.depth, stride=1))
+        fill = list(streams.eth3d_stream(args.datapath, use_depth=False, stride=1))
+        config = preset("eth3d")
+        scale_correct, pos_scale = False, 1.0
+        gt = args.gt or f"{args.datapath}/groundtruth.txt"
+    else:  # tartanair
+        track = streams.tartanair_stream(args.datapath, stereo=args.stereo)
+        fill = track
+        config = preset("tartanair", stereo=args.stereo)
+        scale_correct, pos_scale = True, 1.0
+        gt = args.gt or f"{args.datapath}/pose_left.txt"
+
+    # match the working resolution to the stream
+    first = track[0][1]
+    hw = first.shape[-3:-1] if first.ndim == 4 else first.shape[:2]
+    import dataclasses
+
+    config = dataclasses.replace(config, image_size=tuple(hw))
+
+    traj_est, droid = run_slam(config, args.weights, track, fill)
+    tstamps = np.asarray([item[0] for item in fill], np.float64)
+
+    est = Trajectory(tstamps, pos_scale * traj_est[:, :3], traj_est[:, 3:])
+    if args.save_traj:
+        est.save_tum(args.save_traj)
+        print(f"saved trajectory to {args.save_traj}")
+
+    if gt is not None:
+        ref = Trajectory.load_tum(gt)
+        max_dt = 1e16 if args.dataset == "tartanair" else 0.02
+        result = ate_rmse(ref, est, correct_scale=scale_correct, max_dt=max_dt)
+        print({k: round(v, 6) if isinstance(v, float) else v for k, v in result.items()})
+    else:
+        print("no ground truth given; skipping ATE")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Training entry point.
+
+TPU-native equivalent of /root/reference/train.py: TartanAir clips sampled
+through the covisibility graph, randomized edge graphs, the unrolled
+DroidNet forward with differentiable DBA, random restarts, Adam + OneCycle,
+gradient clipping, periodic checkpoints. Data parallelism is a `('dp',)`
+device mesh (XLA inserts the gradient all-reduce; the reference spawns one
+torch-DDP process per GPU, train.py:28-36,186).
+
+Usage:
+  python -m droid_slam_tpu.apps.train --datapath datasets/TartanAir
+      --name mymodel --batch 4 --steps 250000 [--ckpt restore.msgpack]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def pad_graph(ii, jj, n_edges: int):
+    """Pad an edge list to a fixed length with a validity mask."""
+    n = len(ii)
+    assert n <= n_edges, (n, n_edges)
+    ii_p = np.zeros(n_edges, np.int32)
+    jj_p = np.zeros(n_edges, np.int32)
+    valid = np.zeros(n_edges, bool)
+    ii_p[:n] = ii
+    jj_p[:n] = jj
+    valid[:n] = True
+    return ii_p, jj_p, valid
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", default="droid", help="experiment name")
+    parser.add_argument("--ckpt", help="checkpoint to restore")
+    parser.add_argument("--datapath", required=True)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=250000)
+    parser.add_argument("--lr", type=float, default=2.5e-4)
+    parser.add_argument("--n_frames", type=int, default=7)
+    parser.add_argument("--iters", type=int, default=15)
+    parser.add_argument("--fmin", type=float, default=8.0)
+    parser.add_argument("--fmax", type=float, default=96.0)
+    parser.add_argument("--w1", type=float, default=10.0)
+    parser.add_argument("--w2", type=float, default=0.01)
+    parser.add_argument("--w3", type=float, default=0.05)
+    parser.add_argument("--edges", type=int, default=24)
+    parser.add_argument("--restart_prob", type=float, default=0.2)
+    parser.add_argument("--clip", type=float, default=2.5)
+    parser.add_argument("--crop", type=int, nargs=2, default=[384, 512])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ..data.dataset import TartanAir
+    from ..models.droid_net import init_params
+    from ..ops import lie
+    from ..train import checkpoints
+    from ..train.graph_utils import build_frame_graph, graph_to_edge_list
+    from ..train.trainer import (
+        TrainConfig,
+        init_state,
+        make_train_step,
+        replicate_for_mesh,
+        shard_batch_for_mesh,
+    )
+    from ..utils.logger import Logger
+
+    cfg = TrainConfig(
+        lr=args.lr, steps=args.steps, n_frames=args.n_frames,
+        num_iters=args.iters, clip=args.clip,
+        w1=args.w1, w2=args.w2, w3=args.w3, restart_prob=args.restart_prob,
+    )
+
+    N = args.n_frames
+    # default graph: |i−j| ≤ 2 neighborhood (train.py:96-99)
+    base_ii, base_jj = [], []
+    for i in range(N):
+        for j in range(N):
+            if i != j and abs(i - j) <= 2:
+                base_ii.append(i)
+                base_jj.append(j)
+    n_edges = max(len(base_ii), args.edges + 4 * N)  # static pad
+
+    db = TartanAir(
+        datapath=args.datapath, n_frames=N, fmin=args.fmin, fmax=args.fmax,
+        crop_size=tuple(args.crop),
+    )
+    print(f"dataset: {len(db)} clips")
+
+    params = init_params(jax.random.PRNGKey(0))
+    state = init_state(params, cfg)
+    if args.ckpt:
+        state["params"] = checkpoints.load_params(args.ckpt, state["params"])
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    state = replicate_for_mesh(state, mesh)
+    step_fn = make_train_step(cfg, np.asarray(base_ii), np.asarray(base_jj))
+
+    logger = Logger(args.name)
+    rng = np.random.default_rng(12345)
+    total_steps = 0
+
+    for batch in db.clips(args.batch):
+        # poses: dataset convention c2w → w2c (train.py:86-88)
+        Ps = np.asarray(lie.inv(jnp.asarray(batch["poses"])))
+        Gs0 = Ps.copy()
+        Gs0[:, 1:] = Ps[:, 1:2]
+
+        # randomized graph (train.py:91-99)
+        if rng.random() < 0.5:
+            graph = build_frame_graph(
+                batch["poses"][0], batch["disps"][0], batch["intrinsics"][0],
+                num=args.edges,
+            )
+            gi, gj, _ = graph_to_edge_list(graph)
+        else:
+            gi, gj = np.asarray(base_ii), np.asarray(base_jj)
+        ii_p, jj_p, valid = pad_graph(gi, gj, n_edges)
+
+        h, w = batch["images"].shape[2] // 8, batch["images"].shape[3] // 8
+        train_batch = {
+            "images": batch["images"],
+            "poses": Ps,
+            "disps": batch["disps"],
+            "intrinsics": batch["intrinsics"],
+            "poses_init": Gs0,
+            "disps_init": np.ones(
+                (batch["images"].shape[0], N, h, w), np.float32
+            ),
+            "ii": ii_p,
+            "jj": jj_p,
+            "edge_valid": valid,
+        }
+
+        # random restarts (train.py:102-118)
+        r = 0.0
+        while r < args.restart_prob:
+            r = rng.random()
+            sharded = shard_batch_for_mesh(train_batch, mesh)
+            state, metrics, out = step_fn(state, sharded)
+            train_batch["poses_init"] = np.asarray(out.poses[-1])
+            train_batch["disps_init"] = np.asarray(
+                out.disps_up[-1][:, :, 3::8, 3::8]
+            )
+
+        total_steps += 1
+        logger.push({k: float(v) for k, v in metrics.items()})
+
+        if total_steps % 10000 == 0:
+            path = f"checkpoints/{args.name}_{total_steps:06d}.msgpack"
+            os.makedirs("checkpoints", exist_ok=True)
+            checkpoints.save_params(path, jax.device_get(state["params"]))
+            print(f"saved {path}")
+
+        if total_steps >= args.steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

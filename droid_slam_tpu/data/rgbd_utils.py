@@ -1,0 +1,140 @@
+"""RGB-D dataset utilities: frame association, covisibility distance
+matrices, TUM-format loading.
+
+TPU-native equivalent of /root/reference/droid_slam/data_readers/rgbd_utils.py
+(the flow-distance computation is a jitted JAX kernel instead of chunked
+torch+lietorch calls)."""
+
+from __future__ import annotations
+
+import functools
+import os.path as osp
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from ..ops import projective as pops
+
+
+def parse_list(filepath: str, skiprows: int = 0) -> np.ndarray:
+    return np.loadtxt(filepath, delimiter=" ", dtype=np.str_, skiprows=skiprows)
+
+
+def associate_frames(tstamp_image, tstamp_depth, tstamp_pose, max_dt: float = 1.0):
+    """Pair images, depths, and poses by nearest timestamp
+    (rgbd_utils.py:16-33)."""
+    associations = []
+    for i, t in enumerate(tstamp_image):
+        j = int(np.argmin(np.abs(tstamp_depth - t)))
+        if tstamp_pose is None:
+            if np.abs(tstamp_depth[j] - t) < max_dt:
+                associations.append((i, j))
+        else:
+            k = int(np.argmin(np.abs(tstamp_pose - t)))
+            if (np.abs(tstamp_depth[j] - t) < max_dt) and (
+                np.abs(tstamp_pose[k] - t) < max_dt
+            ):
+                associations.append((i, j, k))
+    return associations
+
+
+def loadtum(datapath: str, frame_rate: int = -1):
+    """Read a TUM-RGBD-format sequence (rgbd_utils.py:36-91), subsampled ×5."""
+    if osp.isfile(osp.join(datapath, "groundtruth.txt")):
+        pose_list = osp.join(datapath, "groundtruth.txt")
+    elif osp.isfile(osp.join(datapath, "pose.txt")):
+        pose_list = osp.join(datapath, "pose.txt")
+    else:
+        return None, None, None, None, None
+
+    image_data = parse_list(osp.join(datapath, "rgb.txt"))
+    depth_data = parse_list(osp.join(datapath, "depth.txt"))
+    pose_data = parse_list(pose_list, skiprows=1)
+    pose_vecs = pose_data[:, 1:].astype(np.float64)
+
+    calib_path = osp.join(datapath, "calibration.txt")
+    intrinsic = (
+        np.loadtxt(calib_path, delimiter=" ").astype(np.float64)
+        if osp.isfile(calib_path)
+        else None
+    )
+
+    tstamp_image = image_data[:, 0].astype(np.float64)
+    tstamp_depth = depth_data[:, 0].astype(np.float64)
+    tstamp_pose = pose_data[:, 0].astype(np.float64)
+    associations = associate_frames(tstamp_image, tstamp_depth, tstamp_pose)
+
+    indices = range(len(associations))[::5]
+
+    images, depths, poses, intrinsics, tstamps = [], [], [], [], []
+    for ix in indices:
+        (i, j, k) = associations[ix]
+        images.append(osp.join(datapath, image_data[i, 1]))
+        depths.append(osp.join(datapath, depth_data[j, 1]))
+        poses.append(pose_vecs[k])
+        tstamps.append(tstamp_image[i])
+        if intrinsic is not None:
+            intrinsics.append(intrinsic)
+
+    return images, depths, poses, intrinsics, tstamps
+
+
+def pose_matrix_to_quaternion(pose: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(pose[:3, :3]).as_quat()
+    return np.concatenate([pose[:3, 3], q], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _flow_chunk(poses_w2c, disps, intrinsics, ii, jj):
+    """Bidirectional mean induced-flow magnitude for a chunk of frame pairs
+    (rgbd_utils.py:105-142): clamped at 100 px, ∞ (encoded 1e9) if <70% of
+    pixels stay valid both ways."""
+    MAX_FLOW = 100.0
+
+    def one_way(a, b):
+        flow, val = pops.induced_flow(poses_w2c, disps, intrinsics, a, b)
+        mag = jnp.minimum(jnp.linalg.norm(flow, axis=-1), MAX_FLOW)
+        return mag, val[..., 0]
+
+    m1, v1 = one_way(ii, jj)
+    m2, v2 = one_way(jj, ii)
+    mag = jnp.concatenate([m1.reshape(m1.shape[0], -1), m2.reshape(m2.shape[0], -1)], -1)
+    val = jnp.concatenate([v1.reshape(v1.shape[0], -1), v2.reshape(v2.shape[0], -1)], -1)
+    mean_val = jnp.mean(val, axis=-1)
+    mean_mag = jnp.sum(mag * val, axis=-1) / jnp.maximum(jnp.sum(val, axis=-1), 1e-6)
+    return jnp.where(mean_val < 0.7, 1e9, mean_mag)
+
+
+def compute_distance_matrix_flow(
+    poses_c2w: np.ndarray, disps: np.ndarray, intrinsics: np.ndarray, chunk: int = 2048
+) -> np.ndarray:
+    """All-pairs covisibility (flow) distance matrix. poses_c2w: [N, 7]
+    camera-to-world (the reference inverts on entry, rgbd_utils.py:108-110)."""
+    N = len(poses_c2w)
+    poses_w2c = jnp.asarray(np.asarray(lie.inv(jnp.asarray(poses_c2w, jnp.float32))))
+    disps_j = jnp.asarray(disps, jnp.float32)
+    intr_j = jnp.asarray(intrinsics, jnp.float32)
+
+    ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+
+    matrix = np.zeros(N * N, np.float32)
+    # pad the last chunk so every call compiles to the same shape
+    for s in range(0, N * N, chunk):
+        a = ii[s : s + chunk]
+        b = jj[s : s + chunk]
+        pad = chunk - len(a)
+        ap = np.pad(a, (0, pad)).astype(np.int32)
+        bp = np.pad(b, (0, pad)).astype(np.int32)
+        d = np.asarray(_flow_chunk(poses_w2c, disps_j, intr_j, jnp.asarray(ap), jnp.asarray(bp)))
+        matrix[s : s + len(a)] = d[: len(a)]
+
+    matrix = matrix.reshape(N, N)
+    matrix[matrix >= 1e9] = np.inf
+    return matrix

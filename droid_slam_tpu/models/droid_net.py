@@ -64,16 +64,20 @@ class DroidNet(nn.Module):
         images: Array,  # [B, F, H, W, 3] RGB 0-255
         disps: Array,  # [B, F, h, w] initial inverse depths (1/8 res)
         intrinsics: Array,  # [B, F, 4] at 1/8 resolution
-        ii: Array,  # [N] static edge list shared across the batch
+        ii: Array,  # [N] edge list shared across the batch (static length)
         jj: Array,  # [N]
         num_steps: int = 12,
         fixedp: int = 2,
+        edge_valid: Array = None,  # [N] bool — padding mask for randomized graphs
     ) -> TrainingOutputs:
         """Unrolled training forward (droid_net.py:173-224): per step — corr
         lookup, update op, 2× differentiable DBA, reprojection; state is
         detached between steps and gradients flow through each step's BA."""
         B, F = images.shape[:2]
         N = ii.shape[0]
+        if edge_valid is None:
+            edge_valid = jnp.ones((N,), bool)
+        valid_b = jnp.tile(edge_valid, B)  # [B*N]
 
         fmaps, net0, inp0 = self.extract_features(images.reshape((B * F,) + images.shape[2:]))
         h, w = fmaps.shape[1:3]
@@ -120,18 +124,24 @@ class DroidNet(nn.Module):
             )
 
             net, delta, weight, eta, upmask = self.update(
-                net, inp, corr, motion, ii_flat, B * F
+                net, inp, corr, motion, ii_flat, B * F, valid_b
             )
 
             target = coords1 + delta.reshape(B, N, h, w, 2)
-            weight_b = weight.reshape(B, N, h, w, 2)
+            weight_b = weight.reshape(B, N, h, w, 2) * edge_valid.astype(
+                weight.dtype
+            )[None, :, None, None, None]
             eta_b = eta.reshape(B, F, h, w)
 
             for _ in range(2):
                 Gs, disps = vmapped_ba(target, weight_b, eta_b, Gs, disps, intrinsics)
 
             coords1, valid = transform(Gs, disps, intrinsics)
-            residual = valid * (target - coords1)
+            residual = (
+                valid
+                * edge_valid.astype(valid.dtype)[None, :, None, None, None]
+                * (target - coords1)
+            )
 
             poses_out.append(Gs)
             disps_out.append(

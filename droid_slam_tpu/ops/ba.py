@@ -561,6 +561,142 @@ def ba_iteration(
     return poses, disps
 
 
+def ba_iteration_dense_window(
+    poses: Array,
+    disps: Array,
+    intrinsics: Array,  # [4]
+    disps_sens: Array,
+    target: Array,  # [N, H, W, 2]
+    weight: Array,
+    eta: Array,  # [F, H, W]
+    ii: Array,  # [N]
+    jj: Array,
+    edge_valid: Array,  # [N] bool
+    t0: Array,  # scalar — first optimized pose
+    t1: Array,  # scalar — one past last optimized pose
+    kf0: Array,  # scalar — first depth frame of the window
+    window: int,  # static pose-window pad (Pw)
+    kwin: int,  # static depth-window pad (Ka ≥ window + margin)
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    alpha: float = 0.05,
+    motion_only: bool = False,
+) -> Tuple[Array, Array]:
+    """One GN iteration with a DENSE windowed Schur complement.
+
+    Device-only alternative to `ba_iteration`: instead of a host-enumerated
+    block-pair schedule (SchurPairs), the pose–depth coupling is scattered
+    into a dense E [kwin, window·6, HW] tensor and S = Σ_k E_k Q_k E_kᵀ is one
+    batched MXU matmul — no host involvement at all, which is what the fused
+    zero-sync tracking step needs. Feasible because the frontend's sliding
+    window is small (kwin ≈ 40, window·6 ≈ 200, so E ≈ 37 MB and S costs a
+    few GFLOP); the global backend keeps the block-sparse pair path.
+
+    Every valid edge must satisfy kf0 ≤ ii < kf0 + kwin.
+    """
+    F = poses.shape[0]
+    ht, wd = disps.shape[-2:]
+    hw = ht * wd
+    Pw = window
+
+    intr_all = jnp.broadcast_to(intrinsics, (F, 4))
+    blocks = build_edge_blocks(
+        target, weight, poses, disps, intr_all, ii, jj,
+        edge_valid=edge_valid, min_depth=pops.MIN_DEPTH_NATIVE,
+    )
+
+    ii_r = ii - t0
+    jj_r = jj - t0
+    H = (
+        _scatter_mat(blocks.Hii, ii_r, ii_r, Pw, Pw)
+        + _scatter_mat(blocks.Hij, ii_r, jj_r, Pw, Pw)
+        + _scatter_mat(blocks.Hji, jj_r, ii_r, Pw, Pw)
+        + _scatter_mat(blocks.Hjj, jj_r, jj_r, Pw, Pw)
+    )
+    v = _scatter_vec(blocks.vi, ii_r, Pw) + _scatter_vec(blocks.vj, jj_r, Pw)
+
+    row = jnp.arange(Pw)
+    live = (row < (t1 - t0)).astype(poses.dtype)
+    live6 = jnp.repeat(live, 6)
+    Hm = H.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
+    Hm = Hm * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
+    v = v * live[:, None]
+
+    if motion_only:
+        eye = jnp.eye(Pw * 6, dtype=Hm.dtype)
+        Hd = Hm + (ep + lm * Hm) * eye * live6[:, None]
+        dx = cholesky_solve(Hd, v.reshape(Pw * 6, 1)).reshape(Pw, 6) * live[:, None]
+        dposes = jnp.zeros((F + Pw, 6), poses.dtype)
+        dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
+        return lie.retr(poses, dposes), disps
+
+    # ---- depth system over the kwin-frame window ----
+    k_rel = ii - kf0  # [N], valid edges in [0, kwin)
+    kframes = kf0 + jnp.arange(kwin)
+    in_window = (kframes >= t0) & (kframes < t1) & (kframes < F)
+    touched = (
+        jax.ops.segment_sum(
+            edge_valid.astype(jnp.int32),
+            jnp.clip(k_rel, 0, kwin - 1),
+            num_segments=kwin,
+        )
+        > 0
+    )
+    in_kx = in_window | (touched & (kframes < F))
+
+    safe_k = jnp.minimum(kframes, F - 1)
+    sens_w = disps_sens[safe_k].reshape(kwin, hw)
+    disps_w = disps[safe_k].reshape(kwin, hw)
+    eta_w = eta[safe_k].reshape(kwin, hw)
+
+    C = _scatter_vec(blocks.Ck, k_rel, kwin)
+    w_rhs = _scatter_vec(blocks.wk, k_rel, kwin)
+    m = (sens_w > 0).astype(poses.dtype)
+    C = C + m * alpha + (1.0 - m) * eta_w
+    w_rhs = w_rhs - m * alpha * (disps_w - sens_w)
+    Q = in_kx.astype(poses.dtype)[:, None] / jnp.where(C == 0.0, 1.0, C)
+
+    # ---- dense windowed E: scatter edge couplings to (k, p) cells ----
+    def scatter_E(E_blocks_, p_rel):
+        idx = jnp.clip(k_rel, 0, kwin - 1) * Pw + p_rel
+        ok = edge_valid & (p_rel >= 0) & (p_rel < Pw) & (k_rel >= 0) & (k_rel < kwin)
+        idx = jnp.where(ok, idx, kwin * Pw)
+        flat = jax.ops.segment_sum(
+            jnp.where(ok[:, None, None], E_blocks_, 0.0),
+            idx,
+            num_segments=kwin * Pw + 1,
+        )
+        return flat[: kwin * Pw].reshape(kwin, Pw, 6, hw)
+
+    E = scatter_E(blocks.Ei, ii_r) + scatter_E(blocks.Ej, jj_r)
+    E = E.reshape(kwin, Pw * 6, hw) * live6[None, :, None]
+
+    EQ = E * Q[:, None, :]
+    S = jnp.einsum("kux,kvx->uv", EQ, E, preferred_element_type=jnp.float32)
+    v_schur = jnp.einsum("kux,kx->u", EQ, w_rhs)
+
+    A = Hm - S * live6[:, None] * live6[None, :]
+    eye = jnp.eye(Pw * 6, dtype=A.dtype)
+    Ad = A + (ep + lm * A) * eye * live6[:, None]
+    rhs = (v.reshape(Pw * 6) - v_schur).reshape(Pw * 6, 1)
+    dx = cholesky_solve(Ad, rhs)
+    dx = dx + cholesky_solve(Ad, rhs - jnp.matmul(Ad, dx))  # f32 refinement
+    dx6 = dx.reshape(Pw * 6) * live6
+
+    dz = Q * (w_rhs - jnp.einsum("kux,u->kx", E, dx6))
+
+    dposes = jnp.zeros((F + Pw, 6), poses.dtype)
+    dposes = jax.lax.dynamic_update_slice(
+        dposes, dx6.reshape(Pw, 6), (t0, 0)
+    )[:F]
+    poses = lie.retr(poses, dposes)
+
+    dz_full = jnp.zeros((F + kwin, hw), dz.dtype)
+    dz_full = jax.lax.dynamic_update_slice(dz_full, dz, (kf0, 0))[:F]
+    disps = disps + dz_full.reshape(F, ht, wd)
+    return poses, disps
+
+
 @functools.partial(
     jax.jit, static_argnames=("window", "iterations", "motion_only")
 )

@@ -24,7 +24,24 @@ from .video import VideoState
 
 
 class Droid:
-    def __init__(self, config: DroidConfig, params=None, weights: Optional[str] = None):
+    """SLAM system facade.
+
+    Two tracking engines share all math and state layout:
+      * ``fused=True`` (default): the zero-sync on-device tracking step
+        (runtime/fused.py) — the host streams frames into the async dispatch
+        queue and never blocks; state is read back once at `terminate`.
+      * ``fused=False``: the host-driven runtime mirroring the reference's
+        per-stage structure (motion filter / factor graph / frontend objects)
+        — more introspectable, ~3 blocking device round-trips per frame.
+    """
+
+    def __init__(
+        self,
+        config: DroidConfig,
+        params=None,
+        weights: Optional[str] = None,
+        fused: bool = True,
+    ):
         self.config = config
         if params is None:
             if weights is not None:
@@ -43,22 +60,70 @@ class Droid:
                 params = init_params(jax.random.PRNGKey(0))
         self.params = params
         update_params = {"params": params["params"]["update"]}
+        self.fused = fused
 
         self.video = VideoState(config)
-        self.filterx = MotionFilter(params, self.video, thresh=config.filter_thresh)
-        self.frontend = DroidFrontend(update_params, self.video, config)
+        if fused:
+            from . import fused as fused_mod
+
+            self._fused_state = fused_mod.init_state(config)
+            self._track_step = fused_mod.build_track_step(params, config)
+        else:
+            self.filterx = MotionFilter(params, self.video, thresh=config.filter_thresh)
+            self.frontend = DroidFrontend(update_params, self.video, config)
         self.backend = DroidBackend(update_params, self.video, config)
         self.traj_filler = PoseTrajectoryFiller(params, self.video, config)
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """Per-frame tracking: motion filter + frontend (droid.py:62-73)."""
+        if self.fused:
+            import jax.numpy as jnp
+
+            from .video import _depth_to_disp_sens
+
+            img = jnp.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            h, w = self.config.feat_size
+            if depth is not None:
+                sens = _depth_to_disp_sens(jnp.asarray(depth), h, w)
+            else:
+                sens = jnp.zeros((h, w), jnp.float32)
+            self._fused_state = self._track_step(
+                self._fused_state,
+                jnp.float32(tstamp),
+                img,
+                jnp.asarray(intrinsics, jnp.float32),
+                sens,
+            )
+            return
         self.filterx.track(tstamp, image, depth, intrinsics)
         self.frontend()
+
+    def _sync_fused_state(self):
+        """One blocking read: materialise the fused device state into the
+        host-driven VideoState for the backend / trajectory filler."""
+        st = self._fused_state
+        v = self.video
+        v.counter = int(st.counter)
+        v.tstamp = st.tstamp
+        v.images = st.images
+        v.poses = st.poses
+        v.disps = st.disps
+        v.disps_sens = st.disps_sens
+        v.intrinsics = st.intrinsics
+        v.fmaps = st.fmaps
+        v.nets = st.nets
+        v.inps = st.inps
+        v.dirty[: v.counter] = True
 
     def terminate(self, stream=None) -> np.ndarray:
         """Global BA + trajectory fill; returns camera-to-world poses [T, 7]
         (droid.py:75-89)."""
-        del self.frontend
+        if self.fused:
+            self._sync_fused_state()
+        else:
+            del self.frontend
 
         self.backend(7)
         self.backend(12)

@@ -176,15 +176,23 @@ class VideoState:
         )
 
     def distance(self, ii, jj, beta: float = 0.3, bidirectional: bool = True) -> np.ndarray:
-        """Flow-magnitude distance between keyframe pairs (depth_video.py:152-188)."""
-        ii = jnp.asarray(ii, jnp.int32)
-        jj = jnp.asarray(jj, jnp.int32)
+        """Flow-magnitude distance between keyframe pairs (depth_video.py:152-188).
+
+        Pair lists are padded to the next power of two so the growing
+        proximity queries reuse a handful of compiled programs instead of
+        recompiling every keyframe."""
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        n = len(ii)
+        pad = max(int(2 ** np.ceil(np.log2(max(n, 16)))), 16)
+        ii_p = jnp.asarray(np.pad(ii, (0, pad - n)))
+        jj_p = jnp.asarray(np.pad(jj, (0, pad - n)))
         b = jnp.float32(beta)
-        d1 = _frame_distance(self.poses, self.disps, self.intrinsics[0], ii, jj, b)
+        d1 = _frame_distance(self.poses, self.disps, self.intrinsics[0], ii_p, jj_p, b)
         if bidirectional:
-            d2 = _frame_distance(self.poses, self.disps, self.intrinsics[0], jj, ii, b)
+            d2 = _frame_distance(self.poses, self.disps, self.intrinsics[0], jj_p, ii_p, b)
             d1 = 0.5 * (d1 + d2)
-        return np.asarray(d1)
+        return np.asarray(d1)[:n]
 
     def distance_matrix(self, t: int, beta: float = 0.3) -> np.ndarray:
         ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")

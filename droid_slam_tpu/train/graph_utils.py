@@ -1,0 +1,80 @@
+"""Training-time frame-graph construction.
+
+TPU-native equivalent of /root/reference/droid_slam/geom/graph_utils.py:
+radius-r neighborhood edges plus greedy closest covisible pairs (by induced-
+flow distance), used to randomise graphs during training (train.py:91-99).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.rgbd_utils import compute_distance_matrix_flow
+
+
+def graph_to_edge_list(graph: Dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ii, jj, kk = [], [], []
+    for s, u in enumerate(graph):
+        for v in graph[u]:
+            ii.append(u)
+            jj.append(v)
+            kk.append(s)
+    return (
+        np.asarray(ii, np.int32),
+        np.asarray(jj, np.int32),
+        np.asarray(kk, np.int32),
+    )
+
+
+def keyframe_indicies(graph: Dict) -> np.ndarray:
+    return np.asarray([u for u in graph], np.int32)
+
+
+def neighbourhood_graph(n: int, r: int) -> Tuple[np.ndarray, np.ndarray]:
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    d = np.abs(ii - jj)
+    keep = (d >= 1) & (d <= r)
+    return ii[keep], jj[keep]
+
+
+def build_frame_graph(
+    poses_c2w: np.ndarray,  # [F, 7] camera-to-world (dataset convention)
+    disps: np.ndarray,  # [F, H, W] full-res inverse depth
+    intrinsics: np.ndarray,  # [F, 4] full-res
+    num: int = 16,
+    thresh: float = 24.0,
+    r: int = 2,
+) -> "OrderedDict":
+    """Radius edges + greedy closest covisible pairs (graph_utils.py:37-68)."""
+    N = len(poses_c2w)
+    d = compute_distance_matrix_flow(
+        poses_c2w, disps[:, 3::8, 3::8], intrinsics / 8.0
+    )
+
+    count = 0
+    graph = OrderedDict()
+    for i in range(N):
+        graph[i] = []
+        d[i, i] = np.inf
+        for j in range(i - r, i + r + 1):
+            if 0 <= j < N and i != j:
+                graph[i].append(j)
+                d[i, j] = np.inf
+                count += 1
+
+    while count < num:
+        ix = int(np.argmin(d))
+        i, j = ix // N, ix % N
+        if d[i, j] < thresh:
+            graph[i].append(j)
+            d[i, j] = np.inf
+            count += 1
+        else:
+            break
+
+    return graph

@@ -46,12 +46,20 @@ def geodesic_loss(
     jj: Array,
     gamma: float = 0.9,
     do_scale: bool = True,
+    edge_valid: Array = None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """γ-weighted relative-pose geodesic distance (losses.py:30-74), with an
-    optional per-sample scale fit for the monocular gauge."""
+    optional per-sample scale fit for the monocular gauge. `edge_valid`
+    masks padded edges of randomized training graphs."""
     S = Gs_steps.shape[0]
     dP = _relative(Ps, ii, jj)  # [B, N, 7]
     w = _step_weights(S, gamma)
+    if edge_valid is None:
+        edge_valid = jnp.ones(ii.shape, bool)
+    ev = edge_valid.astype(jnp.float32)[None, :]
+
+    def masked_mean(x):
+        return jnp.sum(x * ev) / jnp.maximum(jnp.sum(jnp.broadcast_to(ev, x.shape)), 1.0)
 
     def one_step(Gs):
         dG = _relative(Gs, ii, jj)
@@ -63,7 +71,7 @@ def geodesic_loss(
         d = lie.log(lie.mul(dG, lie.inv(dP)))  # [B, N, 6]
         tau = jnp.linalg.norm(d[..., :3], axis=-1)
         phi = jnp.linalg.norm(d[..., 3:], axis=-1)
-        return jnp.mean(tau) + jnp.mean(phi), (tau, phi)
+        return masked_mean(tau) + masked_mean(phi), (tau, phi)
 
     losses, (taus, phis) = jax.vmap(one_step)(Gs_steps)
     total = jnp.sum(w * losses)
@@ -71,10 +79,10 @@ def geodesic_loss(
     r_err = (180.0 / np.pi) * phis[-1]
     t_err = taus[-1]
     metrics = {
-        "rot_error": jnp.mean(r_err),
-        "tr_error": jnp.mean(t_err),
-        "bad_rot": jnp.mean((r_err < 0.1).astype(jnp.float32)),
-        "bad_tr": jnp.mean((t_err < 0.01).astype(jnp.float32)),
+        "rot_error": masked_mean(r_err),
+        "tr_error": masked_mean(t_err),
+        "bad_rot": masked_mean((r_err < 0.1).astype(jnp.float32)),
+        "bad_tr": masked_mean((t_err < 0.01).astype(jnp.float32)),
     }
     return total, metrics
 

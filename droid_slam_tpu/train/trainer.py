@@ -60,9 +60,10 @@ def init_state(params, cfg: TrainConfig):
 
 
 def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
-    """Build the jitted train step for a fixed edge graph (the reference
-    randomises graphs per batch; distinct graphs produce distinct compiled
-    variants, cached by (graph shape) — pass padded graphs to bound this)."""
+    """Build the jitted train step. The edge graph can be randomised per
+    batch (train.py:91-99): pass `ii`/`jj`/`edge_valid` in the batch dict,
+    padded to the same static length as the `ii`/`jj` given here (which
+    serve as the default graph)."""
     model = DroidNet()
     tx = make_optimizer(cfg)
     ii = jnp.asarray(ii, jnp.int32)
@@ -75,13 +76,18 @@ def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
         intrinsics = batch["intrinsics"]  # [B, F, 4] full-res
         Gs0 = batch["poses_init"]  # [B, F, 7]
         disp0 = batch["disps_init"]  # [B, F, h, w]
+        g_ii = batch.get("ii", ii)
+        g_jj = batch.get("jj", jj)
+        g_valid = batch.get("edge_valid", jnp.ones(g_ii.shape, bool))
 
         out = model.apply(
-            params, Gs0, images, disp0, intrinsics / 8.0, ii, jj,
-            num_steps=cfg.num_iters, fixedp=cfg.fixedp,
+            params, Gs0, images, disp0, intrinsics / 8.0, g_ii, g_jj,
+            num_steps=cfg.num_iters, fixedp=cfg.fixedp, edge_valid=g_valid,
         )
 
-        geo, geo_m = L.geodesic_loss(Ps, out.poses, ii, jj, do_scale=False)
+        geo, geo_m = L.geodesic_loss(
+            Ps, out.poses, g_ii, g_jj, do_scale=False, edge_valid=g_valid
+        )
         res, res_m = L.residual_loss(out.residuals)
         disps_gt8 = disps_gt[:, :, 3::8, 3::8]
         flo, flo_m = L.flow_loss(
@@ -140,14 +146,21 @@ def make_initial_batch(
     }
 
 
+_REPLICATED_KEYS = {"ii", "jj", "edge_valid"}  # graph shared across the batch
+
+
 def shard_batch_for_mesh(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch on the mesh, sharded over the leading (batch) axis
-    of every array — the data-parallel layout."""
-    def put(x):
-        spec = P("dp", *([None] * (np.ndim(x) - 1)))
+    """Place a host batch on the mesh: per-sample arrays sharded over the
+    leading (batch) axis, the shared edge graph replicated."""
+
+    def put(key, x):
+        if key in _REPLICATED_KEYS:
+            spec = P()
+        else:
+            spec = P("dp", *([None] * (np.ndim(x) - 1)))
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, batch)
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def replicate_for_mesh(tree, mesh: Mesh):

@@ -1,0 +1,114 @@
+"""Point-cloud visualization and export.
+
+TPU-native equivalent of /root/reference/droid_slam/visualization.py: filter
+map points by multi-view consistency (`depth_filter` count ≥ 2 and disparity
+above 0.5× the mean, visualization.py:106-111), back-project with `iproj`,
+and either export (PLY / npz — always available) or feed a live Open3D viewer
+(optional dependency, gated import; the reference hard-requires open3d and a
+display)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.vis_ops import depth_filter, iproj_points
+
+
+def filtered_point_cloud(
+    video, filter_thresh: float = 0.005, min_count: float = 2.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (points [M, 3], colors [M, 3] uint8) of the consistent map.
+
+    Mirrors the visualizer's droid_backends.iproj + depth_filter protocol
+    (visualization.py:96-111): keep pixels seen consistently by ≥2 neighbor
+    keyframes with disparity above half the per-frame mean.
+    """
+    t = video.counter
+    if t == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.uint8)
+
+    poses = video.poses[:t]
+    disps = video.disps[:t]
+    intr = video.intrinsics[0]
+
+    inds = jnp.arange(t)
+    thresh = filter_thresh * jnp.ones((t,)) * jnp.mean(disps, axis=(1, 2))
+    counts = np.asarray(depth_filter(poses, disps, intr, inds, thresh))
+    points = np.asarray(iproj_points(poses, disps, intr))
+
+    disps_np = np.asarray(disps)
+    masks = (counts >= min_count) & (
+        disps_np > 0.5 * disps_np.mean(axis=(1, 2), keepdims=True)
+    )
+
+    # colors from the stored images, subsampled to the 1/8 grid
+    h, w = disps_np.shape[1:]
+    images = np.asarray(video.images[:t])[:, 3::8, 3::8][:, :h, :w]
+
+    return points[masks], images[masks]
+
+
+def save_ply(path: str, points: np.ndarray, colors: Optional[np.ndarray] = None):
+    """Minimal ASCII PLY writer (no external deps)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = len(points)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            row = f"{points[i,0]:.6f} {points[i,1]:.6f} {points[i,2]:.6f}"
+            if colors is not None:
+                row += f" {int(colors[i,0])} {int(colors[i,1])} {int(colors[i,2])}"
+            f.write(row + "\n")
+
+
+def export_map(video, path: str, filter_thresh: float = 0.005):
+    """Export the filtered map + camera trajectory."""
+    points, colors = filtered_point_cloud(video, filter_thresh)
+    save_ply(os.path.join(path, "map.ply"), points, colors)
+    t = video.counter
+    np.save(os.path.join(path, "poses_c2w.npy"), np.asarray(lie.inv(video.poses[:t])))
+    return len(points)
+
+
+def droid_visualization(video, refresh_hz: float = 10.0):
+    """Live Open3D viewer loop polling the video's dirty flags
+    (visualization.py:60-159). Optional: requires open3d + a display."""
+    try:
+        import open3d as o3d
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "open3d is not installed; use export_map() for offline export"
+        ) from e
+
+    import time
+
+    vis = o3d.visualization.Visualizer()
+    vis.create_window(height=540, width=960)
+    geom = o3d.geometry.PointCloud()
+    added = False
+    while True:
+        if video.dirty[: video.counter].any():
+            video.dirty[: video.counter] = False
+            points, colors = filtered_point_cloud(video)
+            geom.points = o3d.utility.Vector3dVector(points)
+            geom.colors = o3d.utility.Vector3dVector(colors / 255.0)
+            if not added:
+                vis.add_geometry(geom)
+                added = True
+            else:
+                vis.update_geometry(geom)
+        if not vis.poll_events():
+            break
+        vis.update_renderer()
+        time.sleep(1.0 / refresh_hz)

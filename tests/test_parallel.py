@@ -118,7 +118,10 @@ print("DP_TRAIN_OK", loss)
 @pytest.mark.slow
 def test_sharded_ba_and_dp_training():
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize registers the TPU backend whenever this is set,
+    # overriding JAX_PLATFORMS — the virtual CPU mesh needs it gone
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     result = subprocess.run(
         [sys.executable, "-c", CHILD],
         capture_output=True,

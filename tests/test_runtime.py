@@ -42,9 +42,9 @@ def frame_stream(n=8, hw=64):
         yield t, jnp.asarray(img), jnp.asarray(intr)
 
 
-@pytest.fixture(scope="module")
-def droid():
-    return Droid(make_config())
+@pytest.fixture(scope="module", params=[False, True], ids=["hostloop", "fused"])
+def droid(request):
+    return Droid(make_config(), fused=request.param)
 
 
 def test_track_and_terminate(droid):
@@ -52,9 +52,13 @@ def test_track_and_terminate(droid):
     for (t, img, intr) in stream:
         droid.track(t, img, intrinsics=intr)
 
+    if droid.fused:
+        droid._sync_fused_state()
+        assert bool(droid._fused_state.is_init)
+    else:
+        assert droid.frontend.is_initialized
     v = droid.video
     assert v.counter >= droid.config.warmup
-    assert droid.frontend.is_initialized
     poses = np.asarray(v.poses[: v.counter])
     disps = np.asarray(v.disps[: v.counter])
     assert np.all(np.isfinite(poses))
