@@ -50,7 +50,7 @@ def main():
     for _ in range(config.warmup + 4):
         droid.track(t, frames[t % len(frames)], intrinsics=intr)
         t += 1
-    jax.block_until_ready(droid.video.poses)
+    droid.sync()  # fence on the LIVE fused state (video.poses is a stale copy)
 
     # timed steady-state tracking
     n_timed = 12
@@ -58,7 +58,7 @@ def main():
     for _ in range(n_timed):
         droid.track(t, frames[t % len(frames)], intrinsics=intr)
         t += 1
-    jax.block_until_ready(droid.video.poses)
+    droid.sync()
     elapsed = time.perf_counter() - start
 
     fps = n_timed / elapsed

@@ -9,7 +9,7 @@ train.py. All image tensors are NHWC; images enter as RGB uint8/float.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -42,19 +42,25 @@ class TrainingOutputs(NamedTuple):
 
 class DroidNet(nn.Module):
     """fnet (matching features) + cnet (context) + recurrent update operator
-    (droid_net.py:147-152)."""
+    (droid_net.py:147-152).
+
+    ``dtype`` is the computation dtype of all convolutions (params stay
+    float32); the SLAM runtime uses bfloat16 for the ~4× MXU speedup, training
+    and parity tests keep float32."""
+
+    dtype: Any = None
 
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance")
-        self.cnet = BasicEncoder(output_dim=256, norm_fn="none")
-        self.update = UpdateModule()
+        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance", dtype=self.dtype)
+        self.cnet = BasicEncoder(output_dim=256, norm_fn="none", dtype=self.dtype)
+        self.update = UpdateModule(dtype=self.dtype)
 
     def extract_features(self, images: Array) -> Tuple[Array, Array, Array]:
         """images: [B, H, W, 3] RGB 0-255 → (fmaps [B,h,w,128],
         net [B,h,w,128] tanh hidden init, inp [B,h,w,128] relu context)."""
         x = normalize_images(images)
-        fmaps = self.fnet(x)
-        ctx = self.cnet(x)
+        fmaps = self.fnet(x).astype(jnp.float32)
+        ctx = self.cnet(x).astype(jnp.float32)
         net, inp = jnp.split(ctx, 2, axis=-1)
         return fmaps, jnp.tanh(net), nn.relu(inp)
 

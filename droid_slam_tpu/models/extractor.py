@@ -16,24 +16,29 @@ Differences from the reference are layout/idiom only:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 DIM = 32
 
+Dtype = Any
 
-def _norm(norm_fn: str, channels: int):
+
+def _norm(norm_fn: str, channels: int, dtype: Dtype = None):
     """Normalization factory mirroring the reference's choices
     (extractor.py:15-40). BatchNorm is intentionally folded to instance-style
     statistics: the SLAM runtime always runs in eval mode and the published
     checkpoints use 'instance'/'none' (droid_net.py:150-151)."""
     if norm_fn == "group":
-        return nn.GroupNorm(num_groups=channels // 8)
+        return nn.GroupNorm(num_groups=channels // 8, dtype=dtype)
     if norm_fn == "instance":
-        # per-sample, per-channel over H, W; no affine (torch default)
-        return nn.GroupNorm(num_groups=channels, use_bias=False, use_scale=False)
+        # per-sample, per-channel over H, W; no affine (torch default);
+        # flax computes the statistics in float32 even under bfloat16 dtype
+        return nn.GroupNorm(
+            num_groups=channels, use_bias=False, use_scale=False, dtype=dtype
+        )
     if norm_fn == "none":
         return lambda x: x
     raise ValueError(f"unsupported norm_fn: {norm_fn}")
@@ -45,6 +50,7 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,17 +58,18 @@ class ResidualBlock(nn.Module):
         # (lo, hi) = (k//2 - 1, k//2) which is NOT the reference's symmetric
         # torch padding — outputs would diverge
         p1 = ((1, 1), (1, 1))
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=p1, name="conv1")(x)
-        y = nn.relu(_norm(self.norm_fn, self.planes)(y))
-        y = nn.Conv(self.planes, (3, 3), padding=p1, name="conv2")(y)
-        y = nn.relu(_norm(self.norm_fn, self.planes)(y))
+        dt = self.dtype
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=p1, dtype=dt, name="conv1")(x)
+        y = nn.relu(_norm(self.norm_fn, self.planes, dt)(y))
+        y = nn.Conv(self.planes, (3, 3), padding=p1, dtype=dt, name="conv2")(y)
+        y = nn.relu(_norm(self.norm_fn, self.planes, dt)(y))
 
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(
                 self.planes, (1, 1), strides=self.stride, padding="VALID",
-                name="downsample",
+                dtype=dt, name="downsample",
             )(x)
-            x = _norm(self.norm_fn, self.planes)(x)
+            x = _norm(self.norm_fn, self.planes, dt)(x)
 
         return nn.relu(x + y)
 
@@ -72,14 +79,16 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     norm_fn: str = "instance"
+    dtype: Dtype = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(DIM, (7, 7), strides=2, padding=((3, 3), (3, 3)), name="conv1")(x)
-        x = nn.relu(_norm(self.norm_fn, DIM)(x))
+        dt = self.dtype
+        x = nn.Conv(DIM, (7, 7), strides=2, padding=((3, 3), (3, 3)), dtype=dt, name="conv1")(x)
+        x = nn.relu(_norm(self.norm_fn, DIM, dt)(x))
 
         for i, (dim, stride) in enumerate([(DIM, 1), (2 * DIM, 2), (4 * DIM, 2)]):
-            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i + 1}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i + 1}_1")(x)
+            x = ResidualBlock(dim, self.norm_fn, stride, dt, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, dt, name=f"layer{i + 1}_1")(x)
 
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=dt, name="conv2")(x)

@@ -9,7 +9,7 @@ that torch checkpoints convert weight-for-weight.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -46,25 +46,26 @@ class ConvGRU(nn.Module):
     every gate pre-activation."""
 
     h_planes: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, net: Array, inp: Array) -> Array:
-        h = self.h_planes
-        glo = jax.nn.sigmoid(nn.Conv(h, (1, 1), name="w")(net)) * net
+        h, dt = self.h_planes, self.dtype
+        glo = jax.nn.sigmoid(nn.Conv(h, (1, 1), dtype=dt, name="w")(net)) * net
         glo = jnp.mean(glo, axis=(1, 2), keepdims=True)
 
         net_inp = jnp.concatenate([net, inp], axis=-1)
         z = jax.nn.sigmoid(
-            nn.Conv(h, (3, 3), name="convz")(net_inp)
-            + nn.Conv(h, (1, 1), name="convz_glo")(glo)
+            nn.Conv(h, (3, 3), dtype=dt, name="convz")(net_inp)
+            + nn.Conv(h, (1, 1), dtype=dt, name="convz_glo")(glo)
         )
         r = jax.nn.sigmoid(
-            nn.Conv(h, (3, 3), name="convr")(net_inp)
-            + nn.Conv(h, (1, 1), name="convr_glo")(glo)
+            nn.Conv(h, (3, 3), dtype=dt, name="convr")(net_inp)
+            + nn.Conv(h, (1, 1), dtype=dt, name="convr_glo")(glo)
         )
         q = jnp.tanh(
-            nn.Conv(h, (3, 3), name="convq")(jnp.concatenate([r * net, inp], axis=-1))
-            + nn.Conv(h, (1, 1), name="convq_glo")(glo)
+            nn.Conv(h, (3, 3), dtype=dt, name="convq")(jnp.concatenate([r * net, inp], axis=-1))
+            + nn.Conv(h, (1, 1), dtype=dt, name="convq_glo")(glo)
         )
         return (1.0 - z) * net + z * q
 
@@ -110,6 +111,8 @@ class GraphAgg(nn.Module):
     identical math, jit-stable shapes.
     """
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(
         self,
@@ -121,7 +124,8 @@ class GraphAgg(nn.Module):
         # net: [N, H, W, 128] per-edge hidden states; ii: [N] source frame ids
         # edge_valid: [N] bool — padded slots are routed to a dump segment
         n, ht, wd, ch = net.shape
-        net = nn.relu(nn.Conv(128, (3, 3), name="conv1")(net))
+        dt = self.dtype
+        net = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="conv1")(net))
 
         if edge_valid is None:
             seg = ii
@@ -135,11 +139,11 @@ class GraphAgg(nn.Module):
         mean = sums / jnp.maximum(counts, 1.0)[:, None]
         net = mean.reshape(num_frames, ht, wd, ch)
 
-        net = nn.relu(nn.Conv(128, (3, 3), name="conv2")(net))
+        net = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="conv2")(net))
 
-        eta = nn.Conv(1, (3, 3), name="eta")(net)
+        eta = nn.Conv(1, (3, 3), dtype=dt, name="eta")(net).astype(jnp.float32)
         eta = 0.01 * jax.nn.softplus(grad_clip(eta))[..., 0]  # [F, H, W]
-        upmask = nn.Conv(8 * 8 * 9, (1, 1), name="upmask")(net)  # [F, H, W, 576]
+        upmask = nn.Conv(8 * 8 * 9, (1, 1), dtype=dt, name="upmask")(net)  # [F, H, W, 576]
         return eta, upmask
 
 
@@ -152,7 +156,13 @@ class UpdateModule(nn.Module):
     The reference's published checkpoints have 4-channel delta/weight heads
     truncated to 2 at load time (droid.py:54-57); here the heads are natively
     2-channel and the weight converter does the truncation.
+
+    ``dtype`` sets the computation dtype of every conv (params stay float32);
+    the numeric outputs the DBA consumes (delta, weight, eta) are cast back to
+    float32 at the heads.
     """
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -165,23 +175,28 @@ class UpdateModule(nn.Module):
         num_frames: Optional[int] = None,
         edge_valid: Optional[Array] = None,
     ):
-        corr = nn.relu(nn.Conv(128, (1, 1), name="corr_enc1")(corr))
-        corr = nn.relu(nn.Conv(128, (3, 3), name="corr_enc2")(corr))
+        dt = self.dtype
+        corr = nn.relu(nn.Conv(128, (1, 1), dtype=dt, name="corr_enc1")(corr))
+        corr = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="corr_enc2")(corr))
 
-        flow = nn.relu(nn.Conv(128, (7, 7), name="flow_enc1")(flow))
-        flow = nn.relu(nn.Conv(64, (3, 3), name="flow_enc2")(flow))
+        flow = nn.relu(nn.Conv(128, (7, 7), dtype=dt, name="flow_enc1")(flow))
+        flow = nn.relu(nn.Conv(64, (3, 3), dtype=dt, name="flow_enc2")(flow))
 
         # concat order [inp, corr, flow] matches the reference GRU input
-        net = ConvGRU(name="gru")(net, jnp.concatenate([inp, corr, flow], axis=-1))
+        net = ConvGRU(dtype=dt, name="gru")(
+            net, jnp.concatenate([inp.astype(net.dtype), corr, flow], axis=-1)
+        )
 
-        delta = nn.relu(nn.Conv(128, (3, 3), name="delta1")(net))
-        delta = grad_clip(nn.Conv(2, (3, 3), name="delta2")(delta))
+        delta = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="delta1")(net))
+        delta = grad_clip(nn.Conv(2, (3, 3), dtype=dt, name="delta2")(delta).astype(jnp.float32))
 
-        weight = nn.relu(nn.Conv(128, (3, 3), name="weight1")(net))
-        weight = jax.nn.sigmoid(grad_clip(nn.Conv(2, (3, 3), name="weight2")(weight)))
+        weight = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="weight1")(net))
+        weight = jax.nn.sigmoid(
+            grad_clip(nn.Conv(2, (3, 3), dtype=dt, name="weight2")(weight).astype(jnp.float32))
+        )
 
         if ii is None:
             return net, delta, weight
 
-        eta, upmask = GraphAgg(name="agg")(net, ii, num_frames, edge_valid)
+        eta, upmask = GraphAgg(dtype=dt, name="agg")(net, ii, num_frames, edge_valid)
         return net, delta, weight, eta, upmask

@@ -141,44 +141,134 @@ def build_edge_blocks(
     1e-3, zeroed where the transformed depth is below `min_depth`, and — for
     stereo self-edges (ii == jj) — zeroed in every pose block while still
     contributing to the depth system (Ck/wk).
+
+    TPU layout note: everything is computed on [N, hw] PLANES (pixels on the
+    lane axis) with the small twist/pixel-channel indices unrolled in Python.
+    A channels-last [N, hw, 2, 6] Jacobian tensor — the direct transcription
+    of the reference's per-pixel structs — puts 6 on the 128-wide lane axis
+    (21× padding waste) and drives XLA into million-batch 2×4·4×6 matmuls;
+    measured 9 ms for 144 edges vs <1 ms for this formulation. The Hessian
+    contractions become clean [6, hw] @ [hw, 6] batched MXU matmuls.
     """
     N = ii.shape[0]
     ht, wd = disps.shape[-2:]
     hw = ht * wd
+    dtype = poses.dtype
 
-    coords, valid, jac = pops.projective_transform(
-        poses, disps, intrinsics, ii, jj, jacobian=True, min_depth=min_depth
-    )
+    # ---- per-edge relative pose, rotation matrix, adjoint-transpose ----
+    Gij = pops.relative_poses(poses, ii, jj)  # [N, 7]
+    t = lie.translation(Gij)  # [N, 3]
+    R = lie.to_matrix(Gij)[..., :3, :3]  # [N, 3, 3]
 
-    r = (target - coords).reshape(N, hw, 2)
-    w = (0.001 * valid * weight).reshape(N, hw, 2)
+    def col(v, k):  # [N, 1] broadcastable plane scalar
+        return v[:, k, None]
+
+    tx, ty, tz = col(t, 0), col(t, 1), col(t, 2)
+
+    # ---- source back-projection planes (Z0 ≡ 1) ----
+    grid = pops.coords_grid(ht, wd, dtype=dtype).reshape(hw, 2)
+    gx, gy = grid[:, 0][None], grid[:, 1][None]  # [1, hw]
+    intr_i = jnp.take(intrinsics, ii, axis=0)
+    intr_j = jnp.take(intrinsics, jj, axis=0)
+    X0 = (gx - col(intr_i, 2)) / col(intr_i, 0)
+    Y0 = (gy - col(intr_i, 3)) / col(intr_i, 1)
+    d0 = jnp.take(disps, ii, axis=0).reshape(N, hw)
+
+    # ---- SE(3) action: X1 = R·(X0, Y0, 1) + t·d0 ----
+    def rot(k):
+        return R[:, k, 0, None] * X0 + R[:, k, 1, None] * Y0 + R[:, k, 2, None]
+
+    X1 = rot(0) + tx * d0
+    Y1 = rot(1) + ty * d0
+    Z1 = rot(2) + tz * d0
+
+    # ---- projection + residual/weight planes ----
+    fx, fy, cx, cy = (col(intr_j, k) for k in range(4))
+    zi = 1.0 / jnp.where(Z1 < 0.5 * min_depth, jnp.ones_like(Z1), Z1)
+    x1 = fx * X1 * zi + cx
+    y1 = fy * Y1 * zi + cy
+    valid = (Z1 > min_depth).astype(dtype)
+
+    tflat = target.reshape(N, hw, 2)
+    wflat = weight.reshape(N, hw, 2)
+    ru = tflat[..., 0] - x1
+    rv = tflat[..., 1] - y1
+    wu = 0.001 * valid * wflat[..., 0]
+    wv = 0.001 * valid * wflat[..., 1]
     if edge_valid is not None:
-        w = w * edge_valid.astype(w.dtype)[:, None, None]
+        ev = edge_valid.astype(dtype)[:, None]
+        wu = wu * ev
+        wv = wv * ev
 
-    Ji = jac.Ji.reshape(N, hw, 2, 6)
-    Jj = jac.Jj.reshape(N, hw, 2, 6)
-    Jz = jac.Jz.reshape(N, hw, 2)
+    # ---- analytic Jacobian planes ----
+    # Jp rows: (au, 0, bu) and (0, av, bv); Ja columns per twist component a:
+    # (d,0,0) (0,d,0) (0,0,d) (0,−Z,Y) (Z,0,−X) (−Y,X,0)  [all of X1]
+    au = fx * zi
+    bu = -fx * X1 * zi * zi
+    av = fy * zi
+    bv = -fy * Y1 * zi * zi
+    zero = jnp.zeros_like(d0)
+    Jj_u = [au * d0, zero, bu * d0, bu * Y1, au * Z1 - bu * X1, -au * Y1]
+    Jj_v = [zero, av * d0, bv * d0, -av * Z1 + bv * Y1, -bv * X1, av * X1]
+    Jju = jnp.stack(Jj_u, axis=1)  # [N, 6, hw]
+    Jjv = jnp.stack(Jj_v, axis=1)
+
+    # depth Jacobian: Jz = Jp · (t, 1)
+    Jzu = au * tx + bu * tz  # [N, hw]
+    Jzv = av * ty + bv * tz
+
+    # Ji = −A · Jj with A = adjTᵀ… the matrix form of lie.adjT:
+    #   A = [[Rᵀ, 0], [−Rᵀ[t]×, Rᵀ]]  (out_v = RᵀXv, out_w = RᵀXw − Rᵀ(t×Xv))
+    Rt = jnp.swapaxes(R, -1, -2)
+    o3 = jnp.zeros_like(R)
+    tx_, ty_, tz_ = t[:, 0], t[:, 1], t[:, 2]
+    zz = jnp.zeros_like(tx_)
+    t_cross = jnp.stack(
+        [
+            jnp.stack([zz, -tz_, ty_], -1),
+            jnp.stack([tz_, zz, -tx_], -1),
+            jnp.stack([-ty_, tx_, zz], -1),
+        ],
+        axis=-2,
+    )  # [N, 3, 3] = [t]×
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([Rt, o3], axis=-1),
+            jnp.concatenate([-jnp.matmul(Rt, t_cross), Rt], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 6, 6]
+    Jiu = -jnp.einsum("nab,nbx->nax", A, Jju)
+    Jiv = -jnp.einsum("nab,nbx->nax", A, Jjv)
 
     # pose blocks use weights zeroed on self-edges (stereo baseline is fixed);
     # the depth system keeps them (droid_kernels_cpu.cc:160-166,197-203)
-    wp = w * (ii != jj).astype(w.dtype)[:, None, None]
+    nself = (ii != jj).astype(dtype)[:, None]
+    wpu = (wu * nself)[:, None, :]  # [N, 1, hw]
+    wpv = (wv * nself)[:, None, :]
+    wJiu = wpu * Jiu
+    wJiv = wpv * Jiv
+    wJju = wpu * Jju
+    wJjv = wpv * Jjv
 
-    wJi = wp[..., None] * Ji
-    wJj = wp[..., None] * Jj
+    def gram(wa_u, wa_v, b_u, b_v):
+        return jnp.einsum("nax,nbx->nab", wa_u, b_u) + jnp.einsum(
+            "nax,nbx->nab", wa_v, b_v
+        )
 
-    Hii = jnp.einsum("nkca,nkcb->nab", wJi, Ji)
-    Hij = jnp.einsum("nkca,nkcb->nab", wJi, Jj)
-    Hji = jnp.einsum("nkca,nkcb->nab", wJj, Ji)
-    Hjj = jnp.einsum("nkca,nkcb->nab", wJj, Jj)
+    Hii = gram(wJiu, wJiv, Jiu, Jiv)
+    Hij = gram(wJiu, wJiv, Jju, Jjv)
+    Hji = gram(wJju, wJjv, Jiu, Jiv)
+    Hjj = gram(wJju, wJjv, Jju, Jjv)
 
-    vi = jnp.einsum("nkca,nkc->na", wJi, r)
-    vj = jnp.einsum("nkca,nkc->na", wJj, r)
+    vi = jnp.einsum("nax,nx->na", wJiu, ru) + jnp.einsum("nax,nx->na", wJiv, rv)
+    vj = jnp.einsum("nax,nx->na", wJju, ru) + jnp.einsum("nax,nx->na", wJjv, rv)
 
-    Ei = jnp.einsum("nkca,nkc->nak", wJi, Jz)
-    Ej = jnp.einsum("nkca,nkc->nak", wJj, Jz)
+    Ei = wJiu * Jzu[:, None, :] + wJiv * Jzv[:, None, :]  # [N, 6, hw]
+    Ej = wJju * Jzu[:, None, :] + wJjv * Jzv[:, None, :]
 
-    Ck = jnp.einsum("nkc,nkc->nk", w, Jz * Jz)
-    wk = jnp.einsum("nkc,nkc->nk", w, r * Jz)
+    Ck = wu * Jzu * Jzu + wv * Jzv * Jzv  # [N, hw]
+    wk = wu * ru * Jzu + wv * rv * Jzv
 
     return EdgeBlocks(Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, Ck, wk)
 

@@ -49,6 +49,9 @@ class DroidConfig:
 
     # --- misc ---
     motion_damping: float = 0.05  # unused placeholder for future presets
+    # computation dtype of the network convolutions ("bfloat16" | "float32");
+    # params and all BA geometry stay float32
+    compute_dtype: str = "bfloat16"
 
     @property
     def feat_size(self) -> Tuple[int, int]:

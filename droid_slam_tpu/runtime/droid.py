@@ -100,6 +100,19 @@ class Droid:
         self.filterx.track(tstamp, image, depth, intrinsics)
         self.frontend()
 
+    def sync(self):
+        """Block until all dispatched tracking work has completed on device.
+
+        In fused mode `track` is fully asynchronous (frames pipeline through
+        the dispatch queue); timing or state reads must fence on the live
+        fused state, not the stale host-side video copy."""
+        import jax
+
+        if self.fused:
+            jax.block_until_ready(self._fused_state.poses)
+        else:
+            jax.block_until_ready(self.video.poses)
+
     def _sync_fused_state(self):
         """One blocking read: materialise the fused device state into the
         host-driven VideoState for the backend / trajectory filler."""

@@ -91,6 +91,9 @@ def init_state(config) -> SLAMState:
     Nmax = config.max_factors
     K = config.inactive_pad
     f32 = jnp.float32
+    # matching features only feed the correlation matmuls — store them in the
+    # compute dtype (bfloat16 by default) to halve gather traffic per iteration
+    cdt = jnp.dtype(getattr(config, "compute_dtype", "float32"))
     return SLAMState(
         tstamp=jnp.zeros((B,), f32),
         images=jnp.zeros((B, H, W, 3), jnp.uint8),
@@ -98,7 +101,7 @@ def init_state(config) -> SLAMState:
         disps=jnp.ones((B, h, w), f32),
         disps_sens=jnp.zeros((B, h, w), f32),
         intrinsics=jnp.zeros((B, 4), f32),
-        fmaps=jnp.zeros((B, rig, h, w, 128), f32),
+        fmaps=jnp.zeros((B, rig, h, w, 128), cdt),
         nets=jnp.zeros((B, h, w, 128), f32),
         inps=jnp.zeros((B, h, w, 128), f32),
         counter=jnp.int32(0),
@@ -397,8 +400,9 @@ def _proximity_candidates(
 
 def build_track_step(params, config):
     """Return the jitted zero-sync track step for fixed params/config."""
-    model = DroidNet()
-    update_op = UpdateModule()
+    cdt = jnp.dtype(getattr(config, "compute_dtype", "float32"))
+    model = DroidNet(dtype=cdt)
+    update_op = UpdateModule(dtype=cdt)
     update_params = {"params": params["params"]["update"]}
 
     h, w = config.feat_size
@@ -412,14 +416,15 @@ def build_track_step(params, config):
     beta = config.beta
 
     def fnet(image):
-        return model.apply(
+        out = model.apply(
             params, normalize_images(image), method=lambda m, x: m.fnet(x)
         )
+        return out.astype(cdt)
 
     def cnet(image):
         ctx = model.apply(
             params, normalize_images(image[None]), method=lambda m, x: m.cnet(x)
-        )[0]
+        )[0].astype(jnp.float32)
         net, inp = jnp.split(ctx, 2, axis=-1)
         return jnp.tanh(net), jax.nn.relu(inp)
 
@@ -449,7 +454,7 @@ def build_track_step(params, config):
             fmap2 = st.fmaps[jj, (ii == jj).astype(jnp.int32)]
         else:
             fmap2 = st.fmaps[jj, 0]
-        corr = corr_ops.CorrPyramid.build(fmap1, fmap2)(coords1)
+        corr = corr_ops.corr_lookup_fused(fmap1, fmap2, coords1)
 
         net, delta, wgt, eta_win, _ = update_op.apply(
             update_params,
@@ -462,7 +467,7 @@ def build_track_step(params, config):
             valid,
         )
         target = coords1 + delta
-        st = st._replace(enet=net, target=target, weight=wgt)
+        st = st._replace(enet=net.astype(jnp.float32), target=target, weight=wgt)
 
         # persist damping at frames touched by active edges
         touched = (
@@ -523,9 +528,9 @@ def build_track_step(params, config):
         def probe(_):
             last = st.counter - 1
             coords0 = pops.coords_grid(h, w)[None]
-            corr = corr_ops.CorrPyramid.build(
-                st.fmaps[last, 0][None], fmap[0][None]
-            )(coords0)
+            corr = corr_ops.corr_lookup_fused(
+                st.fmaps[last, 0][None], fmap[0][None], coords0
+            )
             _, delta, _ = update_op.apply(
                 update_params,
                 st.nets[last][None],

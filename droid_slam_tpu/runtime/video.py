@@ -33,7 +33,9 @@ Array = jax.Array
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _set_slot(buf: Array, idx, value):
-    return buf.at[idx].set(value)
+    # explicit cast: the fused runtime hands back bf16 fmaps while this
+    # host-driven buffer may be f32 (and vice versa after _sync_fused_state)
+    return buf.at[idx].set(jnp.asarray(value).astype(buf.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("ht", "wd"))
