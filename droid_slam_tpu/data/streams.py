@@ -11,7 +11,11 @@ All streams yield (tstamp, image, intrinsics) or
 (tstamp, image, depth, intrinsics) with images as **RGB** uint8 arrays of
 shape [H, W, 3] (mono) or [2, H, W, 3] (stereo) — the reference carries BGR
 and swaps channels inside the net (droid_net.py:158); here the data layer
-owns color order. Requires cv2 for IO/undistortion (import is deferred).
+owns color order.
+
+IO/geometry backends: the native C++ pipeline (native/droid_native.cc via
+data.native_loader — libjpeg/libpng decode, threaded prefetch, bilinear
+remap/resize) when built, else cv2 (deferred import).
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
+from . import native_loader as _nl
+
 
 def _cv2():
     import cv2
@@ -29,13 +35,37 @@ def _cv2():
     return cv2
 
 
+def _imread_rgb(path: str) -> np.ndarray:
+    """Decode to RGB uint8 via the native library, falling back to cv2."""
+    if _nl.available():
+        img = _nl.imread(path)
+        if img is not None and img.ndim == 3:
+            return img
+    return _bgr2rgb(_cv2().imread(path))
+
+
+def _imread_depth16(path: str, scale: float) -> np.ndarray:
+    """16-bit depth PNG → float32 metres (value/scale)."""
+    if _nl.available():
+        d = _nl.imread(path)
+        if d is not None and d.dtype == np.uint16:
+            return d.astype(np.float32) / scale
+    cv2 = _cv2()
+    return cv2.imread(path, cv2.IMREAD_ANYDEPTH).astype(np.float32) / scale
+
+
+def _resize_rgb(img: np.ndarray, hw) -> np.ndarray:
+    if _nl.available():
+        return _nl.resize(img, hw)
+    return _cv2().resize(img, (hw[1], hw[0]))
+
+
 def _resize_to_area(image: np.ndarray, target_area: int = 384 * 512):
     """Resize so H·W ≈ target_area and crop to multiples of 8 (demo.py:46-52)."""
-    cv2 = _cv2()
     h0, w0 = image.shape[:2]
     s = np.sqrt(target_area / (h0 * w0))
     h1, w1 = int(h0 * s), int(w0 * s)
-    image = cv2.resize(image, (w1, h1))
+    image = _resize_rgb(image, (h1, w1))
     image = image[: h1 - h1 % 8, : w1 - w1 % 8]
     return image, (w1 / w0, h1 / h0)
 
@@ -47,35 +77,49 @@ def _bgr2rgb(image: np.ndarray) -> np.ndarray:
 def image_stream(imagedir: str, calib: str, stride: int = 1) -> Iterator:
     """Generic calibrated monocular stream (demo.py:25-60). `calib` is a text
     file `fx fy cx cy [dist…]` (README.md:93-97)."""
-    cv2 = _cv2()
     calib_arr = np.loadtxt(calib, delimiter=" ")
     fx, fy, cx, cy = calib_arr[:4]
     K = np.eye(3)
     K[0, 0], K[0, 2], K[1, 1], K[1, 2] = fx, cx, fy, cy
 
     image_list = sorted(os.listdir(imagedir))[::stride]
+    maps = None
     for t, imfile in enumerate(image_list):
-        image = cv2.imread(os.path.join(imagedir, imfile))
+        image = _imread_rgb(os.path.join(imagedir, imfile))
         if len(calib_arr) > 4:
-            image = cv2.undistort(image, K, calib_arr[4:])
+            if _nl.available():
+                if maps is None:
+                    h0, w0 = image.shape[:2]
+                    maps = _nl.build_undistort_rectify_map(K, calib_arr[4:], (w0, h0))
+                image = _nl.remap(image, *maps)
+            else:
+                image = _cv2().undistort(image, K, calib_arr[4:])
         image, (sx, sy) = _resize_to_area(image)
         intrinsics = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
-        yield t, _bgr2rgb(image), intrinsics
+        yield t, image, intrinsics
 
 
 def tum_stream(datapath: str, stride: int = 2) -> Iterator:
     """TUM-RGBD fr1 monocular protocol (test_tum.py:23-51): fixed fr1
     intrinsics, undistort, resize to 352×256, crop 16/8 margins."""
-    cv2 = _cv2()
+    cv2 = _cv2() if not _nl.available() else None
     fx, fy, cx, cy = 517.3, 516.5, 318.6, 255.3
     K = np.array([fx, 0, cx, 0, fy, cy, 0, 0, 1]).reshape(3, 3)
     d = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
 
     images_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
+    maps = None
     for t, imfile in enumerate(images_list):
-        image = cv2.imread(imfile)
-        image = cv2.undistort(image, K, d)
-        image = cv2.resize(image, (320 + 32, 240 + 16))
+        image = _imread_rgb(imfile)
+        if _nl.available():
+            if maps is None:
+                maps = _nl.build_undistort_rectify_map(
+                    K, d, (image.shape[1], image.shape[0])
+                )
+            image = _nl.remap(image, *maps)
+        else:
+            image = cv2.undistort(image, K, d)
+        image = _resize_rgb(image, (240 + 16, 320 + 32))
         intr = np.array(
             [
                 fx * image.shape[1] / 640.0,
@@ -87,7 +131,7 @@ def tum_stream(datapath: str, stride: int = 2) -> Iterator:
         )
         image = image[8:-8, 16:-16]
         tstamp = float(os.path.basename(imfile)[:-4])
-        yield tstamp, _bgr2rgb(image), intr
+        yield tstamp, image, intr
 
 
 # EuRoC factory rectification (test_euroc.py:28-51)
@@ -119,12 +163,11 @@ def euroc_stream(
     datapath: str, image_size=(320, 512), stereo: bool = False, stride: int = 1
 ) -> Iterator:
     """EuRoC MAV stream with stereo rectification (test_euroc.py:26-86)."""
-    cv2 = _cv2()
-    map_l = cv2.initUndistortRectifyMap(
-        _EUROC_K_L, _EUROC_D_L, _EUROC_R_L, _EUROC_P_L[:3, :3], (752, 480), cv2.CV_32F
+    map_l = _nl.build_undistort_rectify_map(
+        _EUROC_K_L, _EUROC_D_L, (752, 480), R=_EUROC_R_L, P=_EUROC_P_L[:3, :3]
     )
-    map_r = cv2.initUndistortRectifyMap(
-        _EUROC_K_R, _EUROC_D_R, _EUROC_R_R, _EUROC_P_R[:3, :3], (752, 480), cv2.CV_32F
+    map_r = _nl.build_undistort_rectify_map(
+        _EUROC_K_R, _EUROC_D_R, (752, 480), R=_EUROC_R_R, P=_EUROC_P_R[:3, :3]
     )
     intr_vec = np.array(
         [435.2046959714599, 435.2046959714599, 367.4517211914062, 252.2008514404297]
@@ -135,17 +178,20 @@ def euroc_stream(
     images_left = sorted(glob.glob(os.path.join(datapath, "mav0/cam0/data/*.png")))[::stride]
     images_right = [x.replace("cam0", "cam1") for x in images_left]
 
+    def _remap(img, maps):
+        if _nl.available():
+            return _nl.remap(img, *maps)
+        cv2 = _cv2()
+        return cv2.remap(img, maps[0], maps[1], cv2.INTER_LINEAR)
+
     for t, (imgL, imgR) in enumerate(zip(images_left, images_right)):
         if stereo and not os.path.isfile(imgR):
             continue
         tstamp = float(os.path.basename(imgL)[:-4])
-        frames = [cv2.remap(cv2.imread(imgL), map_l[0], map_l[1], cv2.INTER_LINEAR)]
+        frames = [_remap(_imread_rgb(imgL), map_l)]
         if stereo:
-            frames.append(
-                cv2.remap(cv2.imread(imgR), map_r[0], map_r[1], cv2.INTER_LINEAR)
-            )
-        frames = [cv2.resize(f, (W, H)) for f in frames]
-        image = np.stack([_bgr2rgb(f) for f in frames], 0)
+            frames.append(_remap(_imread_rgb(imgR), map_r))
+        image = np.stack([_resize_rgb(f, (H, W)) for f in frames], 0)
         if not stereo:
             image = image[0]
         intr = intr_vec * np.array([W / wd0, H / ht0, W / wd0, H / ht0])
@@ -154,29 +200,32 @@ def euroc_stream(
 
 def eth3d_stream(datapath: str, use_depth: bool = False, stride: int = 1) -> Iterator:
     """ETH3D SLAM RGB-D stream, depth scale 1/5000 (test_eth3d.py:25-57)."""
-    cv2 = _cv2()
     fx, fy, cx, cy = np.loadtxt(os.path.join(datapath, "calibration.txt")).tolist()
     image_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
     depth_list = sorted(glob.glob(os.path.join(datapath, "depth", "*.png")))[::stride]
 
     for t, (image_file, depth_file) in enumerate(zip(image_list, depth_list)):
-        image = cv2.imread(image_file)
-        depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH) / 5000.0
+        image = _imread_rgb(image_file)
+        depth = _imread_depth16(depth_file, 5000.0)
 
         h0, w0 = image.shape[:2]
         image, (sx, sy) = _resize_to_area(image)
         h1, w1 = int(h0 * np.sqrt((384 * 512) / (h0 * w0))), int(
             w0 * np.sqrt((384 * 512) / (h0 * w0))
         )
-        depth = cv2.resize(depth, (w1, h1), interpolation=cv2.INTER_NEAREST)
+        if _nl.available():
+            depth = _nl.resize_nearest(depth, (h1, w1))
+        else:
+            cv2 = _cv2()
+            depth = cv2.resize(depth, (w1, h1), interpolation=cv2.INTER_NEAREST)
         depth = depth[: h1 - h1 % 8, : w1 - w1 % 8]
 
         intr = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
         tstamp = float(os.path.basename(image_file)[:-4])
         if use_depth:
-            yield tstamp, _bgr2rgb(image), depth.astype(np.float32), intr
+            yield tstamp, image, depth.astype(np.float32), intr
         else:
-            yield tstamp, _bgr2rgb(image), intr
+            yield tstamp, image, intr
 
 
 def tartanair_stream(
@@ -186,17 +235,16 @@ def tartanair_stream(
     stereo: bool = False,
 ) -> List:
     """TartanAir validation stream (validate_tartanair.py:18-39)."""
-    cv2 = _cv2()
     H, W = image_size
     images_left = sorted(glob.glob(os.path.join(datapath, "image_left/*.png")))
     images_right = sorted(glob.glob(os.path.join(datapath, "image_right/*.png")))
 
     data = []
     for t in range(len(images_left)):
-        frames = [cv2.resize(cv2.imread(images_left[t]), (W, H))]
+        frames = [_resize_rgb(_imread_rgb(images_left[t]), (H, W))]
         if stereo:
-            frames.append(cv2.resize(cv2.imread(images_right[t]), (W, H)))
-        image = np.stack([_bgr2rgb(f) for f in frames], 0)
+            frames.append(_resize_rgb(_imread_rgb(images_right[t]), (H, W)))
+        image = np.stack(frames, 0)
         if not stereo:
             image = image[0]
         intr = 0.8 * np.asarray(intrinsics_vec, np.float32)

@@ -8,35 +8,34 @@ reference's correlation volume + ``corr_index_forward`` sampler
 low-memory ``altcorr`` CUDA kernel (/root/reference/src/altcorr_kernel.cu).
 
 Why a hand kernel: the XLA formulation (ops/corr.py) expresses the window
-selection as one-hot batched matmuls; XLA's layout assignment then insists on
-re-laying-out the [N, HW, H2, W2] volume between the correlation dot and the
-selection dots — a ~140 MB HBM round-trip per operator iteration (measured
-1.5 ms, the single largest op in the tracking loop). Here the volume tile
-lives ONLY in VMEM scratch:
+selection as one-hot batched matmuls; XLA's layout assignment then re-lays-out
+the [N, HW, H2, W2] volume between the correlation dot and the selection dots
+— a ~140 MB HBM round-trip per operator iteration (measured 1.5 ms, the
+single largest op in the tracking loop). Here the volume tile lives ONLY in
+VMEM scratch:
 
   grid = (edge n, source-pixel tile pt); per step —
-    1. 30 small MXU dots f2[y] [W2, C] × f1ᵀ [C, TP] write the volume tile
-       into a zero-padded VMEM scratch volpad [H2+16, W2+16, TP]
-       (pixels on the lane axis; padding makes every window in-bounds),
-    2. row selection:  slab  = Σ_s (y0+8 == s) · volpad[s : s+8]      (VPU)
-    3. col selection:  patch = Σ_s (x0+8 == s) · slab[:, s : s+8]     (VPU)
-       — per-pixel dynamic windows become sums of SHIFTED STATIC slices
-       weighted by one-hot scalars, the TPU-native replacement for the
-       per-thread gathers of the CUDA kernel,
-    4. bilinear combine of the four shifted sub-patches, flattened in the
+    1. ONE MXU dot  f2pad [H2·Wp, C] × f1ᵀ [C, TP]  →  volume tile,
+       written into a y-padded VMEM scratch volpad [Yp, Wp, TP]
+       (source pixels on the lane axis; x-padding is pre-built into f2pad
+       by the XLA caller so every window is in-bounds),
+    2. per-pixel window extraction WITHOUT gathers: the window start
+       y0+PAD is split into coarse/fine (q, r) = divmod(·, 8) and the
+       extraction becomes two stages of one-hot-weighted sums of SHIFTED
+       STATIC slices (5 + 8 terms for rows, 6 + 8 for columns) — the
+       TPU-native replacement for the per-thread gathers of the CUDA
+       kernel, sized to keep the Mosaic op count (and compile time) small,
+    3. bilinear combine of the four shifted sub-patches, flattened in the
        oracle's (i, j) tap order.
 
-HBM traffic is only fmap reads + the [N, taps, HW] output. Numerics: the
-correlation dot accumulates in float32 (bf16 inputs); selection/bilinear are
-float32 — strictly more precise than the XLA path under default TPU matmul
-precision. Parity vs the XLA oracle is tested at 1e-2 (bf16 inputs) and 1e-5
-(f32 inputs, interpret mode) in tests/test_pallas_corr.py.
+HBM traffic is only fmap reads + the [N, taps, HW] output; the correlation
+dot accumulates in float32 (bf16 inputs) — strictly more precise than the
+XLA path under default TPU matmul precision.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,63 +44,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-PAD = 8  # window padding on each side: y0/x0 ∈ [−(r+1+3), H2+r] stays in-bounds
+PAD = 8  # window padding in y and x: window starts land in [0, dim + 2*PAD)
 
 
 def _corr_level_kernel(
-    f1_ref,  # [1, TP, C]   source features (pre-scaled)
-    f2_ref,  # [1, H2*W2, C] target features (pre-scaled)
-    coords_ref,  # [1, TP, 2] float (x, y) window centers at this level
+    f1_ref,  # [1, TP, C]       source features (pre-scaled)
+    f2_ref,  # [1, H2*Wp, C]    target features, x-prepadded (pre-scaled)
+    coords_ref,  # [1, TP, 2]   float (x, y) window centers at this level
     out_ref,  # [1, RD*RD, TP]
-    volpad_ref,  # VMEM scratch [H2+2*PAD, W2+2*PAD, TP] f32
-    slab_ref,  # VMEM scratch [RD+1, W2+2*PAD, TP] f32
+    volpad_ref,  # VMEM scratch [Yp, Wp, TP] f32 (y-padded volume tile)
     *,
     h2: int,
     w2: int,
     radius: int,
 ):
     rd = 2 * radius + 1
-    P = rd + 1
+    P = rd + 1  # 8: integer support of the bilinear window
     tp = f1_ref.shape[1]
+    wp = 8 * ((w2 + 7) // 8) + 16  # must match corr_level_pallas
+    yp = volpad_ref.shape[0]
 
     f1 = f1_ref[0]  # [TP, C]
     cx = coords_ref[0, :, 0] - radius  # [TP]
     cy = coords_ref[0, :, 1] - radius
-    x0f = jnp.floor(cx)
-    y0f = jnp.floor(cy)
+    x0f = jnp.floor(jnp.clip(cx, -1000.0, 1000.0))
+    y0f = jnp.floor(jnp.clip(cy, -1000.0, 1000.0))
     dx = (cx - x0f).astype(jnp.float32)[None, None, :]  # [1, 1, TP]
     dy = (cy - y0f).astype(jnp.float32)[None, None, :]
-    x0 = x0f.astype(jnp.int32)  # [TP], in [−(r+1)−…, w2+r]
-    y0 = y0f.astype(jnp.int32)
+    # window starts in padded coordinates; exact one-hot matches only for
+    # starts inside the padded buffer — everything else yields zeros
+    ys = y0f.astype(jnp.int32) + PAD  # [TP] ∈ [0, h2+2*PAD) when in range
+    xs = x0f.astype(jnp.int32) + PAD
+    yq, yr = ys // 8, ys % 8
+    xq, xr = xs // 8, xs % 8
 
-    # ---- 1. correlation volume tile into padded VMEM scratch ----
-    # (static slices/stores only: dynamic offsets into VMEM scratch make
-    # Mosaic stage whole-buffer copies on the scoped stack and OOM)
+    # ---- 1. one MXU dot builds the x-padded volume tile ----
     volpad_ref[:, :, :] = jnp.zeros_like(volpad_ref)
-    for y in range(h2):
-        f2row = f2_ref[0, y * w2 : (y + 1) * w2, :]  # [W2, C]
-        vrow = jax.lax.dot_general(
-            f2row,
-            f1,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [W2, TP]
-        volpad_ref[PAD + y, PAD : PAD + w2, :] = vrow
+    vol = jax.lax.dot_general(
+        f2_ref[0],
+        f1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H2*Wp, TP]
+    volpad_ref[PAD : PAD + h2, :, :] = vol.reshape(h2, wp, tp)
 
-    # ---- 2. row selection: one-hot-weighted sums of shifted STATIC slices ----
-    slab = jnp.zeros((P, w2 + 2 * PAD, tp), jnp.float32)
-    for s in range(-PAD, h2 + PAD - P + 1):
-        ry = (y0 == s).astype(jnp.float32)[None, None, :]
-        slab = slab + ry * volpad_ref[PAD + s : PAD + s + P, :, :]
-    slab_ref[:, :, :] = slab
+    # ---- 2. two-stage (coarse/fine) row & column window extraction ----
+    # valid window starts satisfy start + 8 ≤ dim, so coarse blocks of 16
+    # at offsets 8q with 8q + 16 ≤ dim cover every case (dims are padded to
+    # guarantee the spill room); out-of-range starts match no one-hot → 0
+    yblk = jnp.zeros((16, wp, tp), jnp.float32)
+    for q in range((yp - 16) // 8 + 1):
+        m = (yq == q).astype(jnp.float32)[None, None, :]
+        yblk = yblk + m * volpad_ref[8 * q : 8 * q + 16, :, :]
+    slab = jnp.zeros((P, wp, tp), jnp.float32)
+    for r in range(8):
+        m = (yr == r).astype(jnp.float32)[None, None, :]
+        slab = slab + m * yblk[r : r + P, :, :]
 
-    # ---- 3. col selection ----
+    xblk = jnp.zeros((P, 16, tp), jnp.float32)
+    for q in range((wp - 16) // 8 + 1):
+        m = (xq == q).astype(jnp.float32)[None, None, :]
+        xblk = xblk + m * slab[:, 8 * q : 8 * q + 16, :]
     patch = jnp.zeros((P, P, tp), jnp.float32)
-    for s in range(-PAD, w2 + PAD - P + 1):
-        cxm = (x0 == s).astype(jnp.float32)[None, None, :]
-        patch = patch + cxm * slab_ref[:, PAD + s : PAD + s + P, :]
+    for v in range(8):
+        mv = (xr == v).astype(jnp.float32)[None, None, :]
+        patch = patch + mv * xblk[:, v : v + P, :]
 
-    # ---- 4. bilinear combine, taps in (i, j) order ----
+    # ---- 3. bilinear combine, taps in (i, j) order ----
     v00 = patch[:rd, :rd]
     v01 = patch[1:, :rd]
     v10 = patch[:rd, 1:]
@@ -120,7 +129,7 @@ def corr_level_pallas(
     fmap2: Array,  # [N, H2, W2, C] pre-scaled target features
     coords: Array,  # [N, P, 2] float window centers at this level
     radius: int = 3,
-    tile: int = 240,
+    tile: int = 256,
     interpret: bool = False,
 ) -> Array:
     """One pyramid level of fused correlation + window sampling.
@@ -131,6 +140,15 @@ def corr_level_pallas(
     n, p, c = f1flat.shape
     h2, w2 = fmap2.shape[1:3]
     rd = 2 * radius + 1
+    # padded dims guarantee 16-wide coarse slices for every matchable window
+    # start (start ≤ dim + radius+… < 8·(dim//8+1)+8): 8·q + 16 ≤ padded dim
+    wp = 8 * ((w2 + 7) // 8) + 16
+    yp = 8 * ((h2 + 7) // 8) + 16
+
+    # x-padding is pre-built into f2 so the kernel's dot emits padded rows
+    f2pad = jnp.pad(fmap2, ((0, 0), (0, 0), (PAD, wp - PAD - w2), (0, 0)))
+    f2pad = f2pad.reshape(n, h2 * wp, c)
+
     # lane-dim blocks must be multiples of 128: pad pixels to a tile multiple
     tile = max(128, (tile // 128) * 128)
     p_pad = -(-p // tile) * tile
@@ -146,7 +164,7 @@ def corr_level_pallas(
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h2 * w2, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, h2 * wp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, tile, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
@@ -155,11 +173,10 @@ def corr_level_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n, rd * rd, p_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((h2 + 2 * PAD, w2 + 2 * PAD, tile), jnp.float32),
-            pltpu.VMEM((rd + 1, w2 + 2 * PAD, tile), jnp.float32),
+            pltpu.VMEM((yp, wp, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(f1flat, fmap2.reshape(n, h2 * w2, c), coords)
+    )(f1flat, f2pad, coords)
     return out[:, :, :p]
 
 

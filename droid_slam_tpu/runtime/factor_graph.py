@@ -703,8 +703,10 @@ class FactorGraph:
         t = self.video.counter
         if t1 is None:
             t1 = t
+        if t1 - t0 <= 0:
+            return  # nothing to optimize (degenerate run with ≤1 keyframe)
         # pad the window to a multiple of 32 for compile reuse across calls
-        window = min(-(-(t1 - t0) // 32) * 32, self.video.config.buffer)
+        window = max(min(-(-(t1 - t0) // 32) * 32, self.video.config.buffer), 1)
 
         self._sync_device_edges()
         pairs = ba_ops.SchurPairs.build(
