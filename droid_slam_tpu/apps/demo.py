@@ -62,6 +62,8 @@ def main():
     parser.add_argument("--reconstruction_path", default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="run on random frames (pipeline smoke drive)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of tracking")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -99,9 +101,16 @@ def main():
 
     droid = Droid(config, weights=args.weights)
 
+    import contextlib
+
+    from ..utils.profiling import device_trace
+
+    trace_ctx = device_trace(args.profile) if args.profile else contextlib.nullcontext()
     t_track0 = time.perf_counter()
-    for (t, image, intrinsics) in stream:
-        droid.track(t, jnp.asarray(image), intrinsics=jnp.asarray(intrinsics))
+    with trace_ctx:
+        for (t, image, intrinsics) in stream:
+            droid.track(t, jnp.asarray(image), intrinsics=jnp.asarray(intrinsics))
+        droid.sync()
     t_track = time.perf_counter() - t_track0
 
     t_term0 = time.perf_counter()

@@ -31,6 +31,16 @@ VMEM scratch:
 HBM traffic is only fmap reads + the [N, taps, HW] output; the correlation
 dot accumulates in float32 (bf16 inputs) — strictly more precise than the
 XLA path under default TPU matmul precision.
+
+STATUS: semantics are pinned by tests/test_pallas_corr.py (interpret mode);
+the Mosaic HARDWARE compile currently crashes the axon remote-compile helper
+(HTTP 500 "tpu_compile_helper subprocess exit code 1"). Bisection: each
+selection stage compiles alone (masked aligned-slice chain ≈ 2 s, unaligned
+variant ≈ 3 s), but any TWO chained stages in one kernel either hang Mosaic
+(>30 min) or crash the helper, with value-, scratch- and pltpu.roll-staged
+formulations all affected. Until the toolchain clears, `corr_lookup_fused`
+(ops/corr.py) — the XLA one-hot formulation, ~45× faster than the naive
+gather path and fully fused — remains the production lookup.
 """
 
 from __future__ import annotations
