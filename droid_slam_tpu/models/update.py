@@ -131,11 +131,16 @@ class GraphAgg(nn.Module):
             seg = ii
         else:
             seg = jnp.where(edge_valid, ii, num_frames)
-        ones = jnp.ones((n,), net.dtype)
-        counts = jax.ops.segment_sum(ones, seg, num_segments=num_frames + 1)[:-1]
-        sums = jax.ops.segment_sum(
-            net.reshape(n, -1), seg, num_segments=num_frames + 1
-        )[:-1]
+        # scatter-mean as a one-hot matmul: XLA lowers segment_sum to a
+        # sequential chain of dynamic-update-slices (~1.7 ms/frame at demo
+        # scale); a [F, N] one-hot against [N, H·W·C] rides the MXU instead
+        onehot = (
+            seg[None, :] == jnp.arange(num_frames)[:, None]
+        ).astype(net.dtype)
+        counts = jnp.sum(onehot, axis=1)
+        sums = jnp.matmul(
+            onehot, net.reshape(n, -1), preferred_element_type=net.dtype
+        )
         mean = sums / jnp.maximum(counts, 1.0)[:, None]
         net = mean.reshape(num_frames, ht, wd, ch)
 

@@ -278,28 +278,42 @@ def build_edge_blocks(
 # -----------------------------------------------------------------------------
 
 
+def _onehot_scatter(blocks: Array, idx: Array, ok: Array, n_seg: int) -> Array:
+    """Scatter-add [N, ...] blocks into [n_seg, ...] as a one-hot matmul.
+
+    XLA lowers segment_sum/scatter on TPU to a sequential chain of
+    dynamic-update-slices (one per edge — measured milliseconds per BA
+    iteration at demo scale); the [n_seg, N] one-hot contraction is one MXU
+    matmul. Exact: one-hot entries are 0/1 and the contraction runs at
+    HIGHEST precision, so sums match scatter ordering-independently.
+    """
+    N = blocks.shape[0]
+    oh = (
+        (idx[None, :] == jnp.arange(n_seg, dtype=idx.dtype)[:, None]) & ok[None, :]
+    ).astype(blocks.dtype)
+    flat = jnp.einsum(
+        "sn,nd->sd",
+        oh,
+        blocks.reshape(N, -1),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=blocks.dtype,
+    )
+    return flat.reshape((n_seg,) + blocks.shape[1:])
+
+
 def _scatter_mat(blocks: Array, ii: Array, jj: Array, n: int, m: int) -> Array:
     """Scatter-add [N, ...] blocks into a dense [n, m, ...] grid, dropping
     out-of-range rows (geom/ba.py:12-14)."""
     ok = (ii >= 0) & (jj >= 0) & (ii < n) & (jj < m)
-    idx = jnp.where(ok, ii * m + jj, n * m)
-    flat = jax.ops.segment_sum(
-        jnp.where(ok.reshape((-1,) + (1,) * (blocks.ndim - 1)), blocks, 0.0),
-        idx,
-        num_segments=n * m + 1,
-    )
-    return flat[: n * m].reshape((n, m) + blocks.shape[1:])
+    idx = jnp.where(ok, ii * m + jj, 0)
+    flat = _onehot_scatter(blocks, idx, ok, n * m)
+    return flat.reshape((n, m) + blocks.shape[1:])
 
 
 def _scatter_vec(blocks: Array, ii: Array, n: int) -> Array:
     ok = (ii >= 0) & (ii < n)
-    idx = jnp.where(ok, ii, n)
-    flat = jax.ops.segment_sum(
-        jnp.where(ok.reshape((-1,) + (1,) * (blocks.ndim - 1)), blocks, 0.0),
-        idx,
-        num_segments=n + 1,
-    )
-    return flat[:n]
+    idx = jnp.where(ok, ii, 0)
+    return _onehot_scatter(blocks, idx, ok, n)
 
 
 def schur_solve(
@@ -750,13 +764,9 @@ def ba_iteration_dense_window(
     def scatter_E(E_blocks_, p_rel):
         idx = jnp.clip(k_rel, 0, kwin - 1) * Pw + p_rel
         ok = edge_valid & (p_rel >= 0) & (p_rel < Pw) & (k_rel >= 0) & (k_rel < kwin)
-        idx = jnp.where(ok, idx, kwin * Pw)
-        flat = jax.ops.segment_sum(
-            jnp.where(ok[:, None, None], E_blocks_, 0.0),
-            idx,
-            num_segments=kwin * Pw + 1,
-        )
-        return flat[: kwin * Pw].reshape(kwin, Pw, 6, hw)
+        idx = jnp.where(ok, idx, 0)
+        flat = _onehot_scatter(E_blocks_, idx, ok, kwin * Pw)
+        return flat.reshape(kwin, Pw, 6, hw)
 
     E = scatter_E(blocks.Ei, ii_r) + scatter_E(blocks.Ej, jj_r)
     E = E.reshape(kwin, Pw * 6, hw) * live6[None, :, None]

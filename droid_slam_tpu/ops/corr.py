@@ -236,22 +236,35 @@ def _alt_corr_level_T(
 
     x0 = coords[..., 0] - radius
     y0 = coords[..., 1] - radius
-    x0f = jnp.floor(x0)
-    y0f = jnp.floor(y0)
+    x0f = jnp.floor(jnp.clip(x0, -1e4, 1e4))
+    y0f = jnp.floor(jnp.clip(y0, -1e4, 1e4))
     dx = (x0 - x0f)[:, None, None, :].astype(dt)  # [N, 1, 1, P]
     dy = (y0 - y0f)[:, None, None, :].astype(dt)
     x0i = x0f.astype(jnp.int32)
     y0i = y0f.astype(jnp.int32)
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (1, P, h2, 1), 2)
-    jsel = y0i[:, None, None, :] + jax.lax.broadcasted_iota(jnp.int32, (1, P, 1, 1), 1)
-    Ry = (yy == jsel).astype(dt)  # [N, Pj, H2, P]
-    xx = jax.lax.broadcasted_iota(jnp.int32, (1, P, w2, 1), 2)
-    isel = x0i[:, None, None, :] + jax.lax.broadcasted_iota(jnp.int32, (1, P, 1, 1), 1)
-    Cx = (xx == isel).astype(dt)  # [N, Pi, W2, P]
+    # selection as VPU compare-multiply-reduce (NOT einsum/dot): a batched
+    # matmul here would force the volume out of the dot's natural
+    # pixel-minor layout — a full relayout copy of the ~140 MB volume per
+    # call (measured 1.5 ms inside the tracking loop); the mul-reduce
+    # fuses directly over volT with pixels kept on the lane axis.
+    # (A coarse/fine two-stage split was tried and measured SLOWER — the
+    # padded volume it needs costs more than the selection terms it saves.)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h2, 1, 1), 2)
+    jsel = y0i[:, None, None, None, :] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, P, 1, 1, 1), 1
+    )
+    Ry = (yy == jsel).astype(dt)  # [N, Pj, H2, 1, P]
+    slab = jnp.sum(Ry * volT[:, None, :, :, :], axis=2)  # [N, Pj, W2, P]
 
-    slab = jnp.einsum("njyp,nyxp->njxp", Ry, volT)  # select P rows
-    patch = jnp.einsum("njxp,nixp->njip", slab, Cx)  # select P cols
+    xx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w2, 1), 2)
+    isel = x0i[:, None, None, :] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, P, 1, 1), 1
+    )
+    Cx = (xx == isel).astype(dt)  # [N, Pi, W2, P]
+    patch = jnp.sum(
+        slab[:, :, None, :, :] * Cx[:, None, :, :, :], axis=3
+    )  # [N, Pj, Pi, P]
 
     v00 = patch[:, :rd, :rd]
     v01 = patch[:, 1:, :rd]

@@ -75,5 +75,41 @@ def test_track_and_terminate(droid):
     assert v.counter == t
 
 
+def test_stereo_tracking_smoke():
+    """Stereo rig: frames [2, H, W, 3]; self-edges carry the fixed baseline
+    (projective_ops.py:106) and both fmaps land in the rig axis."""
+    import dataclasses
+
+    config = dataclasses.replace(make_config(), stereo=True, buffer=16)
+    d = Droid(config, fused=True)
+    for t in range(5):
+        img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), np.uint8))
+        intr = jnp.asarray([64.0, 64.0, 32.0, 32.0], jnp.float32)
+        d.track(t, img, intrinsics=intr)
+    d._sync_fused_state()
+    v = d.video
+    assert v.counter >= config.warmup
+    assert np.all(np.isfinite(np.asarray(v.poses[: v.counter])))
+    assert np.all(np.isfinite(np.asarray(v.disps[: v.counter])))
+
+
+def test_rgbd_depth_prior_seeds_disparity():
+    """RGB-D: the sensor depth prior must seed keyframe disparities
+    (depth_video.py:67-69 inversion + subsampling, alpha term in BA)."""
+    config = make_config()
+    d = Droid(config, fused=True)
+    depth_val = 2.0
+    for t in range(5):
+        img = jnp.asarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+        depth = jnp.full((64, 64), depth_val, jnp.float32)
+        intr = jnp.asarray([64.0, 64.0, 32.0, 32.0], jnp.float32)
+        d.track(t, img, depth=depth, intrinsics=intr)
+    d._sync_fused_state()
+    v = d.video
+    sens = np.asarray(v.disps_sens[: v.counter])
+    assert np.allclose(sens, 1.0 / depth_val, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(v.disps[: v.counter])))
+
+
 if __name__ == "__main__":
     pytest.main(["-x", __file__, "-q"])
