@@ -102,8 +102,10 @@ def init_state(config) -> SLAMState:
         disps_sens=jnp.zeros((B, h, w), f32),
         intrinsics=jnp.zeros((B, 4), f32),
         fmaps=jnp.zeros((B, rig, h, w, 128), cdt),
-        nets=jnp.zeros((B, h, w, 128), f32),
-        inps=jnp.zeros((B, h, w, 128), f32),
+        # hidden/context state also lives in the compute dtype: the convs run
+        # bf16 anyway, and f32 storage forced a convert pass per conv input
+        nets=jnp.zeros((B, h, w, 128), cdt),
+        inps=jnp.zeros((B, h, w, 128), cdt),
         counter=jnp.int32(0),
         t1=jnp.int32(0),
         is_init=jnp.bool_(False),
@@ -111,7 +113,7 @@ def init_state(config) -> SLAMState:
         jj=jnp.zeros((Nmax,), jnp.int32),
         age=jnp.zeros((Nmax,), jnp.int32),
         valid=jnp.zeros((Nmax,), bool),
-        enet=jnp.zeros((Nmax, h, w, 128), f32),
+        enet=jnp.zeros((Nmax, h, w, 128), cdt),
         target=jnp.zeros((Nmax, h, w, 2), f32),
         weight=jnp.zeros((Nmax, h, w, 2), f32),
         inac_ii=jnp.zeros((K,), jnp.int32),
@@ -426,7 +428,7 @@ def build_track_step(params, config):
             params, normalize_images(image[None]), method=lambda m, x: m.cnet(x)
         )[0].astype(jnp.float32)
         net, inp = jnp.split(ctx, 2, axis=-1)
-        return jnp.tanh(net), jax.nn.relu(inp)
+        return jnp.tanh(net).astype(cdt), jax.nn.relu(inp).astype(cdt)
 
     # ---------------- one operator iteration (factor_graph.py:199-251) -----
 
@@ -467,7 +469,7 @@ def build_track_step(params, config):
             valid,
         )
         target = coords1 + delta
-        st = st._replace(enet=net.astype(jnp.float32), target=target, weight=wgt)
+        st = st._replace(enet=net.astype(st.enet.dtype), target=target, weight=wgt)
 
         # persist damping at frames touched by active edges
         touched = (
