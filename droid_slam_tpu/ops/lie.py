@@ -246,3 +246,101 @@ def to_matrix(pose: Array) -> Array:
         jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), top.shape[:-2] + (1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+# -----------------------------------------------------------------------------
+# Sim(3): similarity transforms (t[3], q[4], s[1]) as (..., 8) arrays
+# -----------------------------------------------------------------------------
+# The reference gets Sim3 from lietorch (geom/losses.py uses it for the
+# scale-invariant geodesic loss; geom/ba.py:84 mentions Sim3 graphs). Layout
+# follows lietorch: translation, xyzw quaternion, scale.
+
+
+def sim3_identity(shape=(), dtype=jnp.float32) -> Array:
+    return jnp.broadcast_to(
+        jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1], dtype=dtype), tuple(shape) + (8,)
+    )
+
+
+def sim3_scale(g: Array) -> Array:
+    return g[..., 7:8]
+
+
+def sim3_act(g: Array, x: Array) -> Array:
+    """Apply s·R·x + t to 3-points."""
+    return sim3_scale(g) * quat_rotate(g[..., 3:7], x) + g[..., :3]
+
+
+def sim3_mul(a: Array, b: Array) -> Array:
+    """(a ∘ b): scale s_a s_b, rotation q_a q_b, translation t_a + s_a R_a t_b."""
+    t = a[..., :3] + sim3_scale(a) * quat_rotate(a[..., 3:7], b[..., :3])
+    q = quat_mul(a[..., 3:7], b[..., 3:7])
+    s = sim3_scale(a) * sim3_scale(b)
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+def sim3_inv(g: Array) -> Array:
+    q_inv = quat_conj(g[..., 3:7])
+    s_inv = 1.0 / sim3_scale(g)
+    t_inv = -s_inv * quat_rotate(q_inv, g[..., :3])
+    return jnp.concatenate([t_inv, q_inv, s_inv], axis=-1)
+
+
+def sim3_exp(xi: Array) -> Array:
+    """Sim(3) exponential of twists (tau, phi, sigma) → (..., 8).
+
+    Translation t = W·tau with W = C·I + A·[phi]× + B·[phi]×² and the
+    standard Sim(3) coefficients (Strasdat; same branch structure as Sophus's
+    calcW): with s = e^sigma, theta = |phi|,
+
+        C = (s − 1)/sigma                                  (σ→0: 1)
+        A = (a·σ + (1 − b)·θ) / (θ·(θ² + σ²))              a = s·sinθ, b = s·cosθ
+        B = (C − ((b − 1)σ + a·θ)/(θ² + σ²)) / θ²
+
+    with the analytic θ→0 and σ→0 limits substituted where the general
+    expressions are indeterminate. Verified against the 4×4 matrix
+    exponential oracle in tests/test_lie.py.
+    """
+    tau = xi[..., :3]
+    phi = xi[..., 3:6]
+    sigma = xi[..., 6:7]
+    q = exp_so3(phi)
+    s = jnp.exp(sigma)
+
+    theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small_t = theta_sq < 1e-10
+    theta_sq_safe = jnp.where(small_t, 1.0, theta_sq)
+    theta = jnp.sqrt(theta_sq_safe)
+    small_s = jnp.abs(sigma) < 1e-5
+    sigma_safe = jnp.where(small_s, 1.0, sigma)
+
+    C = jnp.where(small_s, 1.0 + sigma / 2.0 + sigma * sigma / 6.0, (s - 1.0) / sigma_safe)
+
+    # sigma small: SE(3) coefficients
+    A_s0 = jnp.where(small_t, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe)
+    B_s0 = jnp.where(
+        small_t, 1.0 / 6.0 - theta_sq / 120.0,
+        (theta - jnp.sin(theta)) / (theta * theta_sq_safe),
+    )
+    # sigma not small, theta small
+    A_t0 = ((sigma_safe - 1.0) * s + 1.0) / (sigma_safe * sigma_safe)
+    B_t0 = (C - s * (1.0 - sigma_safe / 2.0)) / (sigma_safe * sigma_safe)
+    # general case
+    a = s * jnp.sin(theta)
+    b = s * jnp.cos(theta)
+    c = theta_sq_safe + sigma * sigma
+    A_g = (a * sigma + (1.0 - b) * theta) / (theta * c)
+    B_g = (C - ((b - 1.0) * sigma + a * theta) / c) / theta_sq_safe
+
+    A = jnp.where(small_s, A_s0, jnp.where(small_t, A_t0, A_g))
+    B = jnp.where(small_s, B_s0, jnp.where(small_t, B_t0, B_g))
+
+    c1 = jnp.cross(phi, tau)
+    c2 = jnp.cross(phi, c1)
+    t = C * tau + A * c1 + B * c2
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+def sim3_retr(g: Array, xi: Array) -> Array:
+    """Left-multiplicative Sim(3) retraction: g ← exp(xi) ∘ g."""
+    return sim3_mul(sim3_exp(xi), g)

@@ -21,3 +21,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # them across pytest runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")

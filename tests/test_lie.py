@@ -144,3 +144,64 @@ def test_to_matrix_and_normalize():
 
 if __name__ == "__main__":
     pytest.main(["-x", __file__, "-q"])
+
+
+class TestSim3:
+    """Sim(3) group ops vs the 4×4 matrix-exponential oracle (the reference
+    gets Sim3 from lietorch; used for scale-invariant losses, SURVEY §2.4)."""
+
+    def _rng(self):
+        return np.random.default_rng(17)
+
+    def _to_matrix(self, g):
+        g = np.asarray(g)
+        t, q, s = g[:3], g[3:7], g[7]
+        x, y, z, w = q
+        R = np.array([
+            [1 - 2*(y*y + z*z), 2*(x*y - w*z), 2*(x*z + w*y)],
+            [2*(x*y + w*z), 1 - 2*(x*x + z*z), 2*(y*z - w*x)],
+            [2*(x*z - w*y), 2*(y*z + w*x), 1 - 2*(x*x + y*y)],
+        ])
+        M = np.eye(4)
+        M[:3, :3] = s * R
+        M[:3, 3] = t
+        return M
+
+    def test_exp_matches_matrix_exponential(self):
+        from scipy.linalg import expm
+        rng = self._rng()
+        for scale in [1e-6, 1e-3, 0.3, 1.5]:
+            xi = (scale * rng.standard_normal(7)).astype(np.float32)
+            g = lie.sim3_exp(jnp.asarray(xi))
+            tau, phi, sigma = xi[:3], xi[3:6], xi[6]
+            Phi = np.array([[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]], [-phi[1], phi[0], 0]])
+            Xi = np.zeros((4, 4))
+            Xi[:3, :3] = sigma * np.eye(3) + Phi
+            Xi[:3, 3] = tau
+            want = expm(Xi)
+            got = self._to_matrix(g)
+            assert np.abs(got - want).max() < 1e-4, (scale, np.abs(got - want).max())
+
+    def test_mul_inv_identity(self):
+        rng = self._rng()
+        g = lie.sim3_exp(jnp.asarray(0.3 * rng.standard_normal((5, 7)), jnp.float32))
+        e = lie.sim3_mul(g, lie.sim3_inv(g))
+        assert np.abs(np.asarray(e) - np.asarray(lie.sim3_identity((5,)))).max() < 1e-5
+
+    def test_act_composes(self):
+        rng = self._rng()
+        a = lie.sim3_exp(jnp.asarray(0.2 * rng.standard_normal(7), jnp.float32))
+        b = lie.sim3_exp(jnp.asarray(0.2 * rng.standard_normal(7), jnp.float32))
+        x = jnp.asarray(rng.standard_normal((10, 3)), jnp.float32)
+        lhs = lie.sim3_act(lie.sim3_mul(a, b), x)
+        rhs = lie.sim3_act(a, lie.sim3_act(b, x))
+        assert np.abs(np.asarray(lhs) - np.asarray(rhs)).max() < 1e-5
+
+    def test_sigma_zero_matches_se3(self):
+        rng = self._rng()
+        xi6 = jnp.asarray(0.4 * rng.standard_normal((4, 6)), jnp.float32)
+        xi7 = jnp.concatenate([xi6, jnp.zeros((4, 1))], axis=-1)
+        g8 = np.asarray(lie.sim3_exp(xi7))
+        g7 = np.asarray(lie.exp(xi6))
+        assert np.abs(g8[:, :7] - g7).max() < 1e-5
+        assert np.abs(g8[:, 7] - 1.0).max() < 1e-6
