@@ -306,17 +306,10 @@ def _alt_corr_level(
     (factor_graph.py:273-292).
     """
     n, h1, w1, c = fmap1.shape
-    h2, w2 = fmap2.shape[1:3]
     rd = 2 * radius + 1
-    m = n * h1 * w1
-
-    vol = jnp.einsum(
-        "npc,nyxc->npyx",
-        fmap1.reshape(n, h1 * w1, c),
-        fmap2,
-        preferred_element_type=fmap1.dtype,
+    out = _alt_corr_level_T(
+        fmap1.reshape(n, h1 * w1, c), fmap2, coords.reshape(n, h1 * w1, 2), radius
     )
-    out = _bilinear_window_sample(vol, coords.reshape(n, h1 * w1, 2), radius)
     return out.reshape(n, h1, w1, rd * rd)
 
 

@@ -151,6 +151,7 @@ def _edge_confidence_kernel(graph: EdgeState) -> Array:
     return jnp.mean(graph.weight, axis=(1, 2, 3))
 
 
+@functools.lru_cache(maxsize=None)
 def _build_update_step(stereo: bool):
     """Build the jitted one-iteration operator update (factor_graph.py:199-251)."""
 
@@ -273,6 +274,7 @@ def _build_update_step(stereo: bool):
     return update_step
 
 
+@functools.lru_cache(maxsize=None)
 def _build_lowmem_step(stereo: bool, chunk: int = 256):
     """Build the jitted low-memory global-BA iteration (factor_graph.py:255-302).
 

@@ -17,6 +17,7 @@ import numpy as np
 from ..ops import lie
 from .factor_graph import FactorGraph
 from .motion_filter import _encode_frame
+from .video import _set_range
 
 Array = jnp.ndarray
 
@@ -27,12 +28,12 @@ class PoseTrajectoryFiller:
         self.video = video
         self.config = config
 
-    def _fill(self, tstamps: List[float], images: List, intrinsics: List) -> Array:
+    def _fill(self, tstamps: List[float], images: List, intrinsics: List,
+              ts: np.ndarray) -> Array:
         v = self.video
         N = v.counter
         M = len(tstamps)
 
-        ts = np.asarray(v.tstamp[:N])
         tt = np.asarray(tstamps, np.float32)
 
         # bracketing keyframe indices
@@ -47,17 +48,22 @@ class PoseTrajectoryFiller:
         w = lie.log(dP) / dt[:, None] * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.mul(lie.exp(w), Ps[t0])  # [M, 7]
 
-        # matching features for the new frames; temporary append
-        for m in range(M):
-            img = images[m]
-            if img.ndim == 3:
-                img = img[None]
-            fmap = _encode_frame(self.params, img, stereo=self.config.stereo)
-            v.append(
-                float(tt[m]), img, Gs[m], 1.0, None,
-                jnp.asarray(intrinsics[m]) / 8.0, fmap,
-                jnp.zeros_like(v.nets[0]), jnp.zeros_like(v.inps[0]),
-            )
+        # matching features + temporary appends, fully batched: per-slot
+        # writes cost one dispatch each (expensive over a remote-device
+        # tunnel); one fnet call + one ranged write per buffer instead
+        imgs = jnp.stack(
+            [img[0] if img.ndim == 4 else img for img in images]
+        )  # [M, H, W, 3] (mono path of the filler, trajectory_filler.py:60-66)
+        fmaps = _encode_frame(self.params, imgs, stereo=False)[:, None]
+        h, w = self.config.feat_size
+        v.tstamp = _set_range(v.tstamp, N, jnp.asarray(tt))
+        v.poses = _set_range(v.poses, N, Gs)
+        v.disps = _set_range(v.disps, N, jnp.ones((M, h, w), jnp.float32))
+        v.intrinsics = _set_range(
+            v.intrinsics, N, jnp.asarray(np.stack(intrinsics), jnp.float32) / 8.0
+        )
+        v.fmaps = _set_range(v.fmaps, N, fmaps)
+        v.counter = N + M
 
         graph = FactorGraph(
             v,
@@ -83,15 +89,16 @@ class PoseTrajectoryFiller:
         trajectory.inv(), droid.py:89)."""
         pose_list = []
         tstamps, images, intrinsics = [], [], []
+        ts = np.asarray(self.video.tstamp[: self.video.counter])
         for (tstamp, image, intrinsic) in image_stream:
             tstamps.append(tstamp)
             images.append(image)
             intrinsics.append(intrinsic)
             if len(tstamps) == 16:
-                pose_list.append(self._fill(tstamps, images, intrinsics))
+                pose_list.append(self._fill(tstamps, images, intrinsics, ts))
                 tstamps, images, intrinsics = [], [], []
         if tstamps:
-            pose_list.append(self._fill(tstamps, images, intrinsics))
+            pose_list.append(self._fill(tstamps, images, intrinsics, ts))
 
         traj = jnp.concatenate(pose_list, axis=0)
         return np.asarray(lie.inv(traj))

@@ -32,6 +32,18 @@ Array = jax.Array
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _set_range(buf: Array, start, values):
+    """Write `values` into buf[start : start + len(values)] (one dispatch —
+    the trajectory filler appends 16 frames per batch; per-slot writes cost
+    a dispatch each over a remote-device tunnel)."""
+    values = jnp.asarray(values).astype(buf.dtype)
+    pad = [(0, values.shape[0])] + [(0, 0)] * (buf.ndim - 1)
+    grown = jnp.pad(buf, pad)
+    out = jax.lax.dynamic_update_slice(grown, values, (start,) + (0,) * (buf.ndim - 1))
+    return out[: buf.shape[0]]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _set_slot(buf: Array, idx, value):
     # explicit cast: the fused runtime hands back bf16 fmaps while this
     # host-driven buffer may be f32 (and vice versa after _sync_fused_state)
