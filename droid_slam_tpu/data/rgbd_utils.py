@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import functools
 import os.path as osp
-from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ train.py. All image tensors are NHWC; images enter as RGB uint8/float.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ Differences from the reference are layout/idiom only:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,8 +21,7 @@ the reference needs hand-written backward kernels; XLA derives them.
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,6 @@ used by the point-cloud visualizer (droid_slam/visualization.py:100-111).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ test_eth3d.py:59-81, validate_tartanair.py:41-63) with one source of truth.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass

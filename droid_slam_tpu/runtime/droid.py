@@ -14,7 +14,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..models.droid_net import DroidNet
 from .backend import DroidBackend
 from .config import DroidConfig
 from .frontend import DroidFrontend

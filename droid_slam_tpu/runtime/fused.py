@@ -28,11 +28,10 @@ host-enumerated sparse-pair schedule.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.droid_net import DroidNet, normalize_images
 from ..models.update import UpdateModule

@@ -6,9 +6,8 @@ entry point (droid.py:46-60)."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 from flax import serialization
 
 

@@ -6,7 +6,7 @@ TensorBoard is optional — falls back to stdout-only when absent."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 SUM_FREQ = 100
 
