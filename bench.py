@@ -53,7 +53,7 @@ def main():
     droid.sync()  # fence on the LIVE fused state (video.poses is a stale copy)
 
     # timed steady-state tracking
-    n_timed = 12
+    n_timed = 30  # long steady-state window: run-to-run noise was ±0.6 fps at 12
     start = time.perf_counter()
     for _ in range(n_timed):
         droid.track(t, frames[t % len(frames)], intrinsics=intr)
