@@ -43,7 +43,11 @@ def _load():
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "droid_native.cc")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -52,7 +56,8 @@ def _load():
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -86,6 +91,16 @@ def available() -> bool:
     return _load() is not None
 
 
+def _require() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native loader unavailable (libdroid_native.so failed to build/load); "
+            "use the cv2 fallback or check `make -C native`"
+        )
+    return lib
+
+
 def imread(path: str) -> Optional[np.ndarray]:
     """Decode an image natively. Returns u8 RGB [H, W, 3], u16 [H, W] for
     16-bit depth PNGs, or None on failure."""
@@ -105,7 +120,7 @@ def imread(path: str) -> Optional[np.ndarray]:
 
 def remap(image: np.ndarray, mapx: np.ndarray, mapy: np.ndarray) -> np.ndarray:
     """Bilinear remap of u8 RGB by float32 coordinate maps (zero border)."""
-    lib = _load()
+    lib = _require()
     image = np.ascontiguousarray(image, np.uint8)
     mapx = np.ascontiguousarray(mapx, np.float32)
     mapy = np.ascontiguousarray(mapy, np.float32)
@@ -123,7 +138,7 @@ def remap(image: np.ndarray, mapx: np.ndarray, mapy: np.ndarray) -> np.ndarray:
 
 def resize(image: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
     """Bilinear resize of u8 RGB to (H, W)."""
-    lib = _load()
+    lib = _require()
     image = np.ascontiguousarray(image, np.uint8)
     dh, dw = size_hw
     out = np.empty((dh, dw, 3), np.uint8)
@@ -137,7 +152,7 @@ def resize(image: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
 
 def resize_nearest(depth: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize of a float32 depth map."""
-    lib = _load()
+    lib = _require()
     depth = np.ascontiguousarray(depth, np.float32)
     dh, dw = size_hw
     out = np.empty((dh, dw), np.float32)

@@ -15,6 +15,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC, links -ljpeg -lpng -lz)
 
 #include <cmath>
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -54,12 +55,31 @@ static bool has_suffix(const std::string& s, const char* suf) {
   return true;
 }
 
+// libjpeg's default error_exit calls exit(); install a longjmp handler so a
+// truncated/corrupt JPEG returns failure instead of killing the process.
+struct DNJpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+static void dn_jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(((DNJpegErr*)cinfo->err)->jb, 1);
+}
+
 static bool decode_jpeg(const char* path, DNImage* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  DNJpegErr jerr;
+  uint8_t* volatile buf = nullptr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = dn_jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    free(buf);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -70,7 +90,7 @@ static bool decode_jpeg(const char* path, DNImage* out) {
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   int w = cinfo.output_width, h = cinfo.output_height;
-  uint8_t* buf = (uint8_t*)malloc((size_t)h * w * 3);
+  buf = (uint8_t*)malloc((size_t)h * w * 3);
   while ((int)cinfo.output_scanline < h) {
     uint8_t* row = buf + (size_t)cinfo.output_scanline * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -90,10 +110,21 @@ static bool decode_png(const char* path, DNImage* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  uint8_t* volatile pbuf = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
+    free(pbuf);
     return false;
   }
   png_init_io(png, f);
@@ -114,15 +145,17 @@ static bool decode_png(const char* path, DNImage* out) {
     if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
     png_set_strip_alpha(png);
   }
+  int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
   size_t rowbytes = png_get_rowbytes(png, info);
   int ch = is_depth16 ? 1 : 3;
   int bpc = is_depth16 ? 2 : 1;
   uint8_t* buf = (uint8_t*)malloc((size_t)h * w * ch * bpc);
-  std::vector<png_bytep> rows(h);
-  for (int y = 0; y < h; y++) rows[y] = buf + (size_t)y * rowbytes;
-  png_read_image(png, rows.data());
+  pbuf = buf;
+  // png_read_row keeps no C++ objects live across a libpng longjmp
+  for (int p = 0; p < passes; p++)
+    for (int y = 0; y < h; y++) png_read_row(png, buf + (size_t)y * rowbytes, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(f);
   out->data = buf;
@@ -297,7 +330,7 @@ struct DNPipeline {
 
   DNFrame process(const std::string& path) {
     DNFrame fr;
-    DNImage img;
+    DNImage img = {};  // zero-init: decode failure must not leave data dangling
     if (dn_decode(path.c_str(), &img) != 0 || img.channels != 3) {
       if (img.data) free(img.data);
       return fr;
