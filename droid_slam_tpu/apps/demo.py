@@ -59,6 +59,9 @@ def main():
     parser.add_argument("--backend_radius", type=int, default=2)
     parser.add_argument("--backend_nms", type=int, default=3)
     parser.add_argument("--upsample", action="store_true")
+    parser.add_argument("--visualize", action="store_true",
+                        help="spawn the live map visualizer (open3d window "
+                        "when available, headless point-cloud thread otherwise)")
     parser.add_argument("--reconstruction_path", default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="run on random frames (pipeline smoke drive)")
@@ -79,6 +82,7 @@ def main():
             inactive_pad=16, window_pad=16, schur_pair_floor=512,
             filter_thresh=-1.0, keyframe_thresh=0.0,
             frontend_window=8, frontend_thresh=1e9, backend_thresh=1e9,
+            upsample=args.upsample,
         )
     else:
         stream = list(image_stream(args.imagedir, args.calib, args.stride))
@@ -99,7 +103,7 @@ def main():
             upsample=args.upsample,
         )
 
-    droid = Droid(config, weights=args.weights)
+    droid = Droid(config, weights=args.weights, visualize=args.visualize)
 
     import contextlib
 

@@ -417,6 +417,33 @@ def bundle_adjust(
 # -----------------------------------------------------------------------------
 
 
+def pair_schedule(blk_k: np.ndarray, blk_ok: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """All ordered block pairs (a, b) with blk_k[a] == blk_k[b], both valid.
+
+    Vectorised (the reference enumerates this on the host with nested loops
+    per GN iteration, droid.cpp:613-645; a Python double loop is O(Σ n_k²)
+    interpreter steps and stalls at backend scale — ~150k pairs at t=500).
+    Pair order: groups by ascending keyframe, a-major within a group, block
+    ids ascending — identical to the nested-loop enumeration.
+    """
+    ids = np.nonzero(blk_ok)[0]
+    if ids.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.argsort(blk_k[ids], kind="stable")
+    sid = ids[order]  # block ids sorted by keyframe, ascending within groups
+    _, starts, counts = np.unique(blk_k[ids][order], return_index=True, return_counts=True)
+
+    # a: each block of a size-n group repeated n times (a-major order)
+    a_idx = np.repeat(sid, np.repeat(counts, counts))
+    # b: the group tiled n times, aligned with the flattened pair order
+    seg_len = counts * counts
+    total = int(seg_len.sum())
+    seg_off = np.repeat(np.cumsum(seg_len) - seg_len, seg_len)
+    within = np.arange(total) - seg_off
+    b_idx = sid[np.repeat(starts, seg_len) + within % np.repeat(counts, seg_len)]
+    return a_idx, b_idx
+
+
 class SchurPairs(NamedTuple):
     """Host-precomputed block-pair schedule for the block-sparse Schur product.
 
@@ -457,16 +484,7 @@ class SchurPairs(NamedTuple):
             [np.arange(window) < P, edge_valid.astype(bool)]
         ) & (blk_p >= t0) & (blk_p < t1)
 
-        by_k: dict = {}
-        for b in np.nonzero(blk_ok)[0]:
-            by_k.setdefault(int(blk_k[b]), []).append(int(b))
-
-        pa, pb = [], []
-        for _, blks in sorted(by_k.items()):
-            for a in blks:
-                for b in blks:
-                    pa.append(a)
-                    pb.append(b)
+        pa, pb = pair_schedule(blk_k, blk_ok)
 
         np_total = len(pa)
         if pad_to is None:

@@ -18,10 +18,16 @@ def _pow2ceil(n: int, floor: int = 64) -> int:
 
 
 class DroidBackend:
-    def __init__(self, params, video, config):
+    """``mesh`` (optional jax.sharding.Mesh with a 'ba' axis) routes every
+    global-BA solve through the edge-sharded distributed path
+    (parallel/sharded_ba.py) — keyframe linearisation and the Schur reduction
+    scale across devices with one psum of the pose system per GN iteration."""
+
+    def __init__(self, params, video, config, mesh=None):
         self.params = params
         self.video = video
         self.config = config
+        self.mesh = mesh
 
     def __call__(self, steps: int = 12):
         cfg = self.config
@@ -50,6 +56,6 @@ class DroidBackend:
             beta=cfg.beta,
         )
 
-        graph.update_lowmem(steps=steps)
+        graph.update_lowmem(steps=steps, mesh=self.mesh)
         graph.clear_edges()
         v.dirty[:t] = True

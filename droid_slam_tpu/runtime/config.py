@@ -48,7 +48,6 @@ class DroidConfig:
     schur_pair_floor: int = 4096  # min pad of the Schur pair list
 
     # --- misc ---
-    motion_damping: float = 0.05  # unused placeholder for future presets
     # computation dtype of the network convolutions ("bfloat16" | "float32");
     # params and all BA geometry stay float32
     compute_dtype: str = "bfloat16"

@@ -40,6 +40,9 @@ class Droid:
         params=None,
         weights: Optional[str] = None,
         fused: bool = True,
+        ba_mesh=None,  # Mesh with a 'ba' axis → distributed global BA
+        visualize: bool = False,  # spawn the live map visualizer (droid.py:37-40)
+        vis_refresh_hz: float = 2.0,
     ):
         self.config = config
         if params is None:
@@ -70,8 +73,16 @@ class Droid:
         else:
             self.filterx = MotionFilter(params, self.video, thresh=config.filter_thresh)
             self.frontend = DroidFrontend(update_params, self.video, config)
-        self.backend = DroidBackend(update_params, self.video, config)
+        self.backend = DroidBackend(update_params, self.video, config, mesh=ba_mesh)
         self.traj_filler = PoseTrajectoryFiller(params, self.video, config)
+
+        self.visualizer = None
+        if visualize:
+            from ..utils.visualization import VisualizerThread
+
+            self.visualizer = VisualizerThread(
+                self, refresh_hz=vis_refresh_hz, open_window=True
+            )
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """Per-frame tracking: motion filter + frontend (droid.py:62-73)."""
@@ -127,6 +138,8 @@ class Droid:
         v.fmaps = st.fmaps
         v.nets = st.nets
         v.inps = st.inps
+        if self.config.upsample:
+            v.disps_up = st.disps_up
         v.dirty[: v.counter] = True
 
     def terminate(self, stream=None) -> np.ndarray:
@@ -139,6 +152,9 @@ class Droid:
 
         self.backend(7)
         self.backend(12)
+
+        if self.visualizer is not None:
+            self.visualizer.close()
 
         if stream is not None:
             return self.traj_filler(stream)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.update import GraphAgg, UpdateModule
+from ..models.update import GraphAgg, UpdateModule, upsample_disp
 from ..ops import ba as ba_ops
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
@@ -152,15 +152,20 @@ def _edge_confidence_kernel(graph: EdgeState) -> Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_update_step(stereo: bool):
-    """Build the jitted one-iteration operator update (factor_graph.py:199-251)."""
+def _build_update_step(stereo: bool, upsample: bool = False):
+    """Build the jitted one-iteration operator update (factor_graph.py:199-251).
+
+    With ``upsample``, the step also maintains the full-resolution disparity
+    buffer: post-BA window disparities are convex-upsampled with the GraphAgg
+    mask and written into ``disps_up`` at frames touched by active edges
+    (reference factor_graph.py:248-249 + depth_video.py:126-130)."""
 
     update_op = UpdateModule()
 
     @functools.partial(
         jax.jit,
         static_argnames=("window", "agg_frames", "itrs", "use_inactive", "motion_only"),
-        donate_argnums=(1, 2, 5, 6),
+        donate_argnums=(1, 2, 5, 6, 7),
     )
     def update_step(
         params,
@@ -170,6 +175,7 @@ def _build_update_step(stereo: bool):
         disps_sens: Array,
         graph: EdgeState,
         damping: Array,  # [B, h, w] persistent per-frame damping memory
+        disps_up: Array,  # [B, 8h, 8w] full-res disparities (unused w/o upsample)
         fmaps: Array,  # [B, rig, h, w, 128]
         inps: Array,  # [B, h, w, 128]
         inactive: InactiveState,
@@ -206,7 +212,7 @@ def _build_update_step(stereo: bool):
         corr_feat = corr_ops.CorrPyramid.build(fmap1, fmap2)(coords1)
 
         # ---- ConvGRU update ----------------------------------------------
-        net, delta, weight, eta_win, _upmask = update_op.apply(
+        net, delta, weight, eta_win, upmask = update_op.apply(
             params,
             graph.net,
             jnp.take(inps, ii, axis=0),
@@ -269,13 +275,31 @@ def _build_update_step(stereo: bool):
             poses, disps, intrinsics[0], disps_sens, prob, window,
             iterations=itrs, motion_only=motion_only,
         )
-        return poses, disps, graph, damping
+
+        if upsample:
+            # maintain full-res disparities for the window frames touched by
+            # active edges (post-BA disps, matching video.upsample intent)
+            disps_pad = jnp.pad(disps, ((0, agg_frames), (0, 0), (0, 0)))
+            win = jax.lax.dynamic_slice(disps_pad, (kf0, 0, 0), (agg_frames, h, w))
+            up_win = upsample_disp(win, upmask.astype(jnp.float32))
+            dup_pad = jnp.pad(disps_up, ((0, agg_frames), (0, 0), (0, 0)))
+            cur_up = jax.lax.dynamic_slice(
+                dup_pad, (kf0, 0, 0), (agg_frames, 8 * h, 8 * w)
+            )
+            new_up = jnp.where(touched_rel[:, None, None], up_win, cur_up)
+            disps_up = jax.lax.dynamic_update_slice(dup_pad, new_up, (kf0, 0, 0))[
+                : disps_up.shape[0]
+            ]
+
+        return poses, disps, graph, damping, disps_up
 
     return update_step
 
 
 @functools.lru_cache(maxsize=None)
-def _build_lowmem_step(stereo: bool, chunk: int = 256):
+def _build_lowmem_step(
+    stereo: bool, chunk: int = 256, upsample: bool = False, do_ba: bool = True
+):
     """Build the jitted low-memory global-BA iteration (factor_graph.py:255-302).
 
     Correlation is computed on the fly per lookup window (AltCorr — the
@@ -292,7 +316,7 @@ def _build_lowmem_step(stereo: bool, chunk: int = 256):
     @functools.partial(
         jax.jit,
         static_argnames=("window", "itrs"),
-        donate_argnums=(1, 2, 5, 6),
+        donate_argnums=(1, 2, 5, 6, 7),
     )
     def lowmem_step(
         params,
@@ -302,6 +326,7 @@ def _build_lowmem_step(stereo: bool, chunk: int = 256):
         disps_sens: Array,
         graph: EdgeState,
         damping: Array,
+        disps_up: Array,  # [B, 8h, 8w] (unused unless upsample)
         fmaps: Array,  # [B, rig, h, w, 128]
         inps: Array,
         pairs: ba_ops.SchurPairs,
@@ -361,7 +386,7 @@ def _build_lowmem_step(stereo: bool, chunk: int = 256):
         graph = graph._replace(net=net, target=target, weight=weight)
 
         # graph aggregation over ALL edges at once (damping + upmask)
-        eta_all, _upmask = GraphAgg().apply(
+        eta_all, upmask = GraphAgg().apply(
             {"params": params["params"]["agg"]}, net, ii, B, valid
         )
         touched = (
@@ -372,22 +397,30 @@ def _build_lowmem_step(stereo: bool, chunk: int = 256):
         )
         damping = jnp.where(touched[:, None, None], eta_all, damping)
 
-        prob = ba_ops.BAProblem(
-            target=target,
-            weight=weight,
-            eta=0.2 * damping + ep,
-            ii=ii,
-            jj=jj,
-            edge_valid=valid,
-            t0=t0,
-            t1=t1,
-            pairs=pairs,
-        )
-        poses, disps = ba_ops.ba_solve(
-            poses, disps, intrinsics[0], disps_sens, prob, window,
-            iterations=itrs, lm=lm, ep=ep_ba,
-        )
-        return poses, disps, graph, damping
+        if do_ba:
+            prob = ba_ops.BAProblem(
+                target=target,
+                weight=weight,
+                eta=0.2 * damping + ep,
+                ii=ii,
+                jj=jj,
+                edge_valid=valid,
+                t0=t0,
+                t1=t1,
+                pairs=pairs,
+            )
+            poses, disps = ba_ops.ba_solve(
+                poses, disps, intrinsics[0], disps_sens, prob, window,
+                iterations=itrs, lm=lm, ep=ep_ba,
+            )
+        # else: the caller hands target/weight/damping to the mesh-sharded
+        # BA (parallel/sharded_ba.py) — poses/disps pass through
+
+        if upsample:
+            up_all = upsample_disp(disps, upmask.astype(jnp.float32))
+            disps_up = jnp.where(touched[:, None, None], up_all, disps_up)
+
+        return poses, disps, graph, damping, disps_up
 
     return lowmem_step
 
@@ -438,7 +471,7 @@ class FactorGraph:
         self.inactive = _empty_inactive(inactive_pad, h, w)
         self.damping = 1e-6 * jnp.ones((video.config.buffer, h, w), jnp.float32)
 
-        self._update_step = _build_update_step(video.config.stereo)
+        self._update_step = _build_update_step(video.config.stereo, upsample)
         self._lowmem_step = None  # built lazily by update_lowmem
 
     # ------------------------------------------------------------- queries
@@ -490,9 +523,10 @@ class FactorGraph:
         free = np.nonzero(~self.valid)[0]
         need = len(ii) - len(free)
         if need > 0 and remove:
-            # evict oldest edges to the inactive store
+            # evict oldest edges to the inactive store; stable sort so ties
+            # break by ascending slot — the fused engine's argsort order
             active_slots = np.nonzero(self.valid)[0]
-            order = active_slots[np.argsort(-self.age[active_slots])]
+            order = active_slots[np.argsort(-self.age[active_slots], kind="stable")]
             evict = order[:need]
             self._deactivate(evict, store=True)
             free = np.nonzero(~self.valid)[0]
@@ -664,6 +698,7 @@ class FactorGraph:
             self.video.disps,
             self.edges,
             self.damping,
+            self.video.disps_up,
         ) = self._update_step(
             self.params,
             self.video.poses,
@@ -672,6 +707,7 @@ class FactorGraph:
             self.video.disps_sens,
             self.edges,
             self.damping,
+            self.video.disps_up,
             self.video.fmaps,
             self.video.inps,
             self.inactive,
@@ -697,11 +733,23 @@ class FactorGraph:
         itrs: int = 2,
         steps: int = 8,
         EP: float = 1e-7,
+        mesh=None,
     ):
         """Global-BA iterations with on-the-fly correlation
-        (factor_graph.py:255-302). lm=1e-5/ep=1e-2 as in the reference."""
+        (factor_graph.py:255-302). lm=1e-5/ep=1e-2 as in the reference.
+
+        With ``mesh`` (a jax.sharding.Mesh with a 'ba' axis), the GN solve of
+        every step runs through the edge-sharded distributed BA
+        (parallel/sharded_ba.py) instead of the single-device solver: the
+        update operator produces targets/weights as usual, then the per-edge
+        linearisation + Schur reduction is sharded over the mesh with one
+        psum of the pose system per iteration."""
         if self._lowmem_step is None:
-            self._lowmem_step = _build_lowmem_step(self.video.config.stereo)
+            self._lowmem_step = _build_lowmem_step(
+                self.video.config.stereo,
+                upsample=self.upsample,
+                do_ba=(mesh is None),
+            )
         t = self.video.counter
         if t1 is None:
             t1 = t
@@ -715,12 +763,20 @@ class FactorGraph:
             self.ii, self.jj, self.valid, t0, t1, window,
             pad_floor=self.schur_pair_floor,
         )
+        plan = None
+        if mesh is not None:
+            from ..parallel.sharded_ba import ShardedBAPlan, sharded_ba_solve
+
+            plan = ShardedBAPlan.build(
+                self.ii, self.jj, self.valid, mesh.shape["ba"], t, t0, t1
+            )
         for _ in range(steps):
             (
                 self.video.poses,
                 self.video.disps,
                 self.edges,
                 self.damping,
+                self.video.disps_up,
             ) = self._lowmem_step(
                 self.params,
                 self.video.poses,
@@ -729,6 +785,7 @@ class FactorGraph:
                 self.video.disps_sens,
                 self.edges,
                 self.damping,
+                self.video.disps_up,
                 self.video.fmaps,
                 self.video.inps,
                 pairs,
@@ -737,6 +794,22 @@ class FactorGraph:
                 window,
                 itrs,
             )
+            if mesh is not None:
+                self.video.poses, self.video.disps = sharded_ba_solve(
+                    mesh,
+                    plan,
+                    self.edges.target,
+                    self.edges.weight,
+                    0.2 * self.damping + EP,
+                    self.video.poses,
+                    self.video.disps,
+                    self.video.intrinsics[0],
+                    self.video.disps_sens,
+                    t0,
+                    t1,
+                    window,
+                    iterations=itrs,
+                )
             self.video.dirty[:t] = True
 
     # --------------------------------------------------- edge construction

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.droid_net import DroidNet, normalize_images
-from ..models.update import UpdateModule
+from ..models.update import UpdateModule, upsample_disp
 from ..ops import ba as ba_ops
 from ..ops import corr as corr_ops
 from ..ops import lie
@@ -42,8 +42,13 @@ from ..ops import projective as pops
 
 Array = jax.Array
 
-# static candidate-list sizes for the masked edge-selection phases
-N_GREEDY = 12  # greedy proximity picks per update (each adds 2 directed edges)
+# Static upper bound on greedy proximity picks per update (each pick adds 2
+# directed edges). The actual number of picks is gated at trace time by the
+# same running edge-count budget the host loop uses
+# (factor_graph.py:805-818: pick while len(es) <= max_factors), so the two
+# engines build identical graphs; this only sizes the lax.scan.
+def _n_greedy(max_factors: int) -> int:
+    return max_factors // 2 + 1
 
 
 class SLAMState(NamedTuple):
@@ -80,6 +85,9 @@ class SLAMState(NamedTuple):
     inac_next: Array  # int32 ring pointer
     # per-frame damping memory (factor_graph.py:31 damping)
     damping: Array  # [B, h, w]
+    # full-res disparities (depth_video.py disps_up); [1,1,1] dummy unless
+    # config.upsample — the upsample einsum is skipped statically when off
+    disps_up: Array  # [B, H, W] or [1, 1, 1]
 
 
 def init_state(config) -> SLAMState:
@@ -122,6 +130,7 @@ def init_state(config) -> SLAMState:
         inac_weight=jnp.zeros((K, h, w, 2), f32),
         inac_next=jnp.int32(0),
         damping=1e-6 * jnp.ones((B, h, w), f32),
+        disps_up=jnp.zeros((B, H, W) if config.upsample else (1, 1, 1), f32),
     )
 
 
@@ -270,6 +279,7 @@ def _rm_keyframe(st: SLAMState, ix: Array) -> SLAMState:
         nets=shift(st.nets),
         inps=shift(st.inps),
         damping=shift(st.damping),
+        disps_up=shift(st.disps_up) if st.disps_up.shape[0] == B else st.disps_up,
     )
 
     touching = st.valid & ((st.ii == ix) | (st.jj == ix))
@@ -306,11 +316,14 @@ def _proximity_candidates(
     thresh: float,
     beta: float,
     stereo: bool,
+    max_factors: int,
 ):
     """Distance-ranked greedy proximity edges with NMS, fully on device.
 
     Returns (cand_ii, cand_jj, cand_ok) of static length
-    rows·(rad+1)·2 [+rows stereo] + 2·N_GREEDY.
+    rows·(rad+1)·2 [+rows stereo] + 2·n_greedy. Greedy picks stop when the
+    running directed-edge count (base + picks) would exceed ``max_factors``,
+    matching the host loop's `len(es) > max_factors` break.
     """
     t = st.counter
     i_abs = t0 + jnp.arange(rows)  # [rows]
@@ -344,7 +357,9 @@ def _proximity_candidates(
     d = jax.lax.fori_loop(0, ex_i.shape[0], sup_body, d)
 
     # base edges: temporal neighbors (i, j) for j ∈ [i−rad−1, i), both
-    # directions (+ stereo self edges), with their cells suppressed
+    # directions (+ stereo self edges), with their cells suppressed.
+    # j ascends to match the host candidate order (factor_graph.py:793-803)
+    # so slot assignment agrees when capacity binds.
     base_ii, base_jj, base_ok = [], [], []
     for r_i in range(rows):
         i = i_abs[r_i]
@@ -352,7 +367,7 @@ def _proximity_candidates(
             base_ii.append(i)
             base_jj.append(i)
             base_ok.append(i_ok[r_i])
-        for doff in range(1, rad + 2):
+        for doff in range(rad + 1, 0, -1):
             j = i - doff
             ok = i_ok[r_i] & (j >= 0)
             base_ii.extend([i, j])
@@ -374,19 +389,25 @@ def _proximity_candidates(
         # also suppress all self cells
         d = jnp.where(ii_g == jj_g, inf, d)
 
-    # greedy selection: N_GREEDY picks, each adds (i, j) and (j, i)
+    # greedy selection: up to n_greedy picks, each adds (i, j) and (j, i);
+    # budget-gated exactly like the host loop (base edges count too)
+    n_base = jnp.sum(base_ok.astype(jnp.int32))
+
     def pick(carry, _):
-        d, = carry
+        d, cnt = carry
         k = jnp.argmin(d.reshape(-1))
         best = d.reshape(-1)[k]
         si = ii_g.reshape(-1)[k]
         sj = jj_g.reshape(-1)[k]
-        ok = best <= thresh
+        ok = (best <= thresh) & (cnt <= max_factors)
         r = _suppression_radius(si, sj, nms)
         d = jnp.where(ok, suppress(d, si, sj, r), d)
-        return (d,), (si, sj, ok)
+        cnt = cnt + jnp.where(ok, 2, 0)
+        return (d, cnt), (si, sj, ok)
 
-    (_,), (gi, gj, gok) = jax.lax.scan(pick, (d,), None, length=N_GREEDY)
+    (_, _), (gi, gj, gok) = jax.lax.scan(
+        pick, (d, n_base), None, length=_n_greedy(max_factors)
+    )
 
     cand_ii = jnp.concatenate([base_ii, gi, gj])
     cand_jj = jnp.concatenate([base_jj, gj, gi])
@@ -460,7 +481,7 @@ def build_track_step(params, config):
             fmap2 = st.fmaps[jj, 0]
         corr = corr_ops.corr_lookup_fused(fmap1, fmap2, coords1)
 
-        net, delta, wgt, eta_win, _ = update_op.apply(
+        net, delta, wgt, eta_win, upmask = update_op.apply(
             update_params,
             st.enet,
             jnp.take(st.inps, ii, axis=0),
@@ -512,10 +533,28 @@ def build_track_step(params, config):
 
         poses, disps = jax.lax.fori_loop(0, 2, gn, (st.poses, st.disps))
         disps = jnp.clip(disps, 0.001, None)
-
-        return st._replace(
+        st = st._replace(
             poses=poses, disps=disps, age=st.age + valid.astype(jnp.int32)
         )
+
+        if config.upsample:
+            # full-res disparity maintenance (depth_video.py:126-130) over the
+            # aggregation window, masked to frames touched by active edges
+            disps_pad = jnp.pad(disps, ((0, Ka), (0, 0), (0, 0)))
+            win = jax.lax.dynamic_slice(disps_pad, (kf0, 0, 0), (Ka, h, w))
+            up_win = upsample_disp(win, upmask.astype(jnp.float32))
+            dup_pad = jnp.pad(st.disps_up, ((0, Ka), (0, 0), (0, 0)))
+            cur_up = jax.lax.dynamic_slice(
+                dup_pad, (kf0, 0, 0), (Ka, 8 * h, 8 * w)
+            )
+            new_up = jnp.where(touched[:, None, None], up_win, cur_up)
+            st = st._replace(
+                disps_up=jax.lax.dynamic_update_slice(
+                    dup_pad, new_up, (kf0, 0, 0)
+                )[: st.disps_up.shape[0]]
+            )
+
+        return st
 
     # ------------------------------ track step -----------------------------
 
@@ -608,7 +647,7 @@ def build_track_step(params, config):
             ci, cj, cok = _proximity_candidates(
                 st, jnp.int32(0), jnp.int32(0), warmup, warmup,
                 rad=2, nms=2, thresh=config.frontend_thresh, beta=beta,
-                stereo=stereo,
+                stereo=stereo, max_factors=Nmax,
             )
             st = _add_edges(st, ci, cj, cok, evict=jnp.bool_(False))
             st = jax.lax.fori_loop(
@@ -647,6 +686,7 @@ def build_track_step(params, config):
                 thresh=config.frontend_thresh,
                 beta=beta,
                 stereo=stereo,
+                max_factors=Nmax,
             )
             st = _add_edges(st, ci, cj, cok, evict=jnp.bool_(True))
 

@@ -81,6 +81,112 @@ def export_map(video, path: str, filter_thresh: float = 0.005):
     return len(points)
 
 
+class VisualizerThread:
+    """Live map visualization running concurrently with tracking.
+
+    TPU-native analogue of the reference's visualizer *process*
+    (/root/reference/droid_slam/droid.py:37-40, visualization.py:60-159): the
+    reference shares CUDA tensors across processes and polls a `dirty` flag;
+    here the keyframe buffers are host-owned JAX arrays, so a daemon thread
+    polling the same `dirty` protocol is the right isolation (device work
+    releases the GIL; no shared-memory protocol is needed).
+
+    The thread recomputes the multi-view-consistent point cloud whenever
+    keyframes are marked dirty and hands it to ``sink(points, colors)`` —
+    an Open3D window when ``open_window`` (and open3d is importable), else
+    headless consumers (tests, web streamers). The latest cloud is always
+    available as ``.latest``.
+
+    In fused mode tracking state lives on device; polling calls
+    ``droid._sync_fused_state()``, which fences the dispatch queue — keep
+    ``refresh_hz`` low (default 2) to bound the throughput cost.
+    """
+
+    def __init__(
+        self,
+        droid,
+        refresh_hz: float = 2.0,
+        sink=None,
+        open_window: bool = False,
+        filter_thresh: float = 0.005,
+    ):
+        import threading
+
+        self.droid = droid
+        self.refresh_hz = refresh_hz
+        self.sink = sink
+        self.open_window = open_window
+        self.filter_thresh = filter_thresh
+        self.latest: Tuple[np.ndarray, np.ndarray] = (
+            np.zeros((0, 3)),
+            np.zeros((0, 3), np.uint8),
+        )
+        self.updates = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="droid-visualizer", daemon=True
+        )
+        self._thread.start()
+
+    def _poll_once(self) -> bool:
+        droid = self.droid
+        video = droid.video
+        if getattr(droid, "fused", False):
+            droid._sync_fused_state()
+        if video.counter == 0 or not video.dirty[: video.counter].any():
+            return False
+        video.dirty[: video.counter] = False
+        self.latest = filtered_point_cloud(video, self.filter_thresh)
+        self.updates += 1
+        if self.sink is not None:
+            self.sink(*self.latest)
+        return True
+
+    def _run(self):
+        import time
+
+        vis = geom = None
+        added = False
+        if self.open_window:
+            try:
+                import open3d as o3d
+
+                vis = o3d.visualization.Visualizer()
+                vis.create_window(height=540, width=960)
+                geom = o3d.geometry.PointCloud()
+            except Exception:
+                vis = None  # headless fallback: keep .latest/sink working
+
+        while not self._stop.is_set():
+            try:
+                updated = self._poll_once()
+            except Exception:
+                # tracking may be mid-edit; retry next tick
+                updated = False
+            if vis is not None:
+                if updated:
+                    import open3d as o3d
+
+                    points, colors = self.latest
+                    geom.points = o3d.utility.Vector3dVector(points)
+                    geom.colors = o3d.utility.Vector3dVector(colors / 255.0)
+                    if not added:
+                        vis.add_geometry(geom)
+                        added = True
+                    else:
+                        vis.update_geometry(geom)
+                if not vis.poll_events():
+                    break
+                vis.update_renderer()
+            self._stop.wait(1.0 / self.refresh_hz)
+        if vis is not None:
+            vis.destroy_window()
+
+    def close(self, timeout: float = 5.0):
+        self._stop.set()
+        self._thread.join(timeout=timeout)
+
+
 def droid_visualization(video, refresh_hz: float = 10.0):
     """Live Open3D viewer loop polling the video's dirty flags
     (visualization.py:60-159). Optional: requires open3d + a display."""

@@ -1,0 +1,176 @@
+"""Fused-vs-host engine cross-validation.
+
+The two tracking engines (`runtime/fused.py` single-jit step and the
+host-driven `runtime/{motion_filter,frontend,factor_graph}.py` loop) are
+independent implementations of the same reference semantics
+(/root/reference/droid_slam/droid_frontend.py, factor_graph.py,
+motion_filter.py). This test tracks one deterministic synthetic sequence
+through BOTH and pins:
+
+  * identical keyframe count and keyframe timestamps,
+  * identical active factor-graph edge sets,
+  * pose / disparity agreement to float32-accumulation tolerance (the fused
+    BA uses the dense-window Schur formulation, the host BA the sparse-pair
+    schedule — same linear system, different reduction order).
+
+A divergence here means one engine's graph logic drifted (e.g. the fused
+greedy proximity budget vs the host's `len(es) > max_factors` cap).
+
+Sequence length is 10 frames: with random weights the proximity distances
+are arbitrary, and past ~10 frames two candidates eventually tie to within
+f32 noise, at which point the two engines legitimately pick different edges
+(verified by bisection in round 2 — the graphs agree exactly through frame
+10, then a knife-edge greedy pick flips). Trained weights separate real
+candidates by orders of magnitude.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from droid_slam_tpu.runtime import Droid, DroidConfig
+
+rng = np.random.default_rng(1234)
+
+
+def make_config():
+    return DroidConfig(
+        image_size=(64, 64),
+        buffer=32,
+        warmup=4,
+        max_factors=24,
+        inactive_pad=16,
+        window_pad=16,
+        schur_pair_floor=512,
+        filter_thresh=-1.0,  # random weights: keyframe every frame
+        keyframe_thresh=0.0,  # never cull (decisions pinned, not exercised)
+        frontend_window=8,
+        frontend_thresh=1e9,
+        backend_thresh=1e9,
+        compute_dtype="float32",  # bitwise-comparable conv math
+    )
+
+
+FRAMES = [
+    (t, rng.integers(0, 255, (64, 64, 3), np.uint8),
+     np.array([64.0, 64.0, 32.0, 32.0], np.float32))
+    for t in range(10)
+]
+
+
+def run_engine(fused: bool):
+    d = Droid(make_config(), fused=fused)
+    for (t, img, intr) in FRAMES:
+        d.track(t, jnp.asarray(img), intrinsics=jnp.asarray(intr))
+    if fused:
+        d._sync_fused_state()
+        st = d._fused_state
+        edges = {
+            (int(i), int(j))
+            for i, j, v in zip(
+                np.asarray(st.ii), np.asarray(st.jj), np.asarray(st.valid)
+            )
+            if v
+        }
+        inactive = {
+            (int(i), int(j))
+            for i, j, v in zip(
+                np.asarray(st.inac_ii), np.asarray(st.inac_jj),
+                np.asarray(st.inac_valid),
+            )
+            if v
+        }
+    else:
+        g = d.frontend.graph
+        edges = {
+            (int(i), int(j)) for i, j, v in zip(g.ii, g.jj, g.valid) if v
+        }
+        inactive = {
+            (int(i), int(j))
+            for i, j, v in zip(g.ii_inac, g.jj_inac, g.valid_inac)
+            if v
+        }
+    t = d.video.counter
+    return {
+        "counter": t,
+        "tstamps": np.asarray(d.video.tstamp[:t]),
+        "poses": np.asarray(d.video.poses[:t]),
+        "disps": np.asarray(d.video.disps[:t]),
+        "edges": edges,
+        "inactive": inactive,
+    }
+
+
+@pytest.fixture(scope="module")
+def results():
+    return run_engine(fused=True), run_engine(fused=False)
+
+
+def test_same_keyframes(results):
+    fused, host = results
+    assert fused["counter"] == host["counter"]
+    np.testing.assert_array_equal(fused["tstamps"], host["tstamps"])
+
+
+def test_same_edge_set(results):
+    fused, host = results
+    assert fused["edges"] == host["edges"], (
+        f"fused-only: {sorted(fused['edges'] - host['edges'])}, "
+        f"host-only: {sorted(host['edges'] - fused['edges'])}"
+    )
+    assert fused["inactive"] == host["inactive"], (
+        f"fused-only: {sorted(fused['inactive'] - host['inactive'])}, "
+        f"host-only: {sorted(host['inactive'] - fused['inactive'])}"
+    )
+
+
+def test_pose_and_disp_agreement(results):
+    fused, host = results
+    # ~40 operator iterations of shared f32 math with different BA reduction
+    # orders (dense-window vs sparse-pair Schur); measured agreement is
+    # ~3e-5 / 6e-4 — a logic divergence gives O(1)
+    dp = np.abs(fused["poses"] - host["poses"]).max()
+    assert dp < 5e-3, dp
+    dd = np.abs(fused["disps"] - host["disps"]).max()
+    assert dd < 1e-2, dd
+
+
+def test_stereo_edge_sets_agree():
+    """Stereo rig: self-edges and rig-aware correlation indexing must agree."""
+    config = dataclasses.replace(make_config(), stereo=True, buffer=16)
+    streams = [
+        (t, rng.integers(0, 255, (2, 64, 64, 3), np.uint8),
+         np.array([64.0, 64.0, 32.0, 32.0], np.float32))
+        for t in range(6)
+    ]
+
+    def run(fused):
+        d = Droid(config, fused=fused)
+        for (t, img, intr) in streams:
+            d.track(t, jnp.asarray(img), intrinsics=jnp.asarray(intr))
+        if fused:
+            d._sync_fused_state()
+            st = d._fused_state
+            edges = {
+                (int(i), int(j))
+                for i, j, v in zip(
+                    np.asarray(st.ii), np.asarray(st.jj), np.asarray(st.valid)
+                )
+                if v
+            }
+        else:
+            g = d.frontend.graph
+            edges = {(int(i), int(j)) for i, j, v in zip(g.ii, g.jj, g.valid) if v}
+        return d.video.counter, edges
+
+    tf, ef = run(True)
+    th, eh = run(False)
+    assert tf == th
+    assert ef == eh
+
+
+if __name__ == "__main__":
+    pytest.main(["-x", __file__, "-q"])

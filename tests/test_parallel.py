@@ -112,6 +112,57 @@ state, metrics, _ = step(state, batch)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 print("DP_TRAIN_OK", loss)
+
+# ---- integrated backend: DroidBackend(mesh) vs single-device, full pass ----
+from droid_slam_tpu.runtime.backend import DroidBackend
+from droid_slam_tpu.runtime.config import DroidConfig
+from droid_slam_tpu.runtime.video import VideoState
+
+cfg_b = DroidConfig(
+    image_size=(48, 64), buffer=12, window_pad=16, schur_pair_floor=512,
+    inactive_pad=16, backend_thresh=1e9, compute_dtype="float32",
+)
+bparams = init_params(jax.random.PRNGKey(2), image_size=(48, 64))
+upd_params = {"params": bparams["params"]["update"]}
+
+rb = np.random.default_rng(11)
+Fb = 8
+hb, wb = cfg_b.feat_size
+poses_b = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (cfg_b.buffer, 1))
+poses_b = np.asarray(lie.retr(
+    jnp.asarray(poses_b),
+    jnp.asarray(np.pad(0.03 * rb.standard_normal((Fb, 6)), ((0, cfg_b.buffer - Fb), (0, 0))).astype(np.float32)),
+))
+disps_b = np.ones((cfg_b.buffer, hb, wb), np.float32)
+disps_b[:Fb] = (0.5 + rb.random((Fb, hb, wb))).astype(np.float32)
+fmaps_b = rb.standard_normal((cfg_b.buffer, 1, hb, wb, 128)).astype(np.float32)
+nets_b = np.tanh(rb.standard_normal((cfg_b.buffer, hb, wb, 128))).astype(np.float32)
+inps_b = rb.standard_normal((cfg_b.buffer, hb, wb, 128)).astype(np.float32)
+intr_b = np.broadcast_to(np.array([8.0, 8.0, wb / 2, hb / 2], np.float32), (cfg_b.buffer, 4))
+
+def make_video():
+    v = VideoState(cfg_b)
+    v.counter = Fb
+    v.poses = jnp.asarray(poses_b.copy())
+    v.disps = jnp.asarray(disps_b.copy())
+    v.intrinsics = jnp.asarray(intr_b.copy())
+    v.fmaps = jnp.asarray(fmaps_b.copy())
+    v.nets = jnp.asarray(nets_b.copy())
+    v.inps = jnp.asarray(inps_b.copy())
+    return v
+
+v_single = make_video()
+DroidBackend(upd_params, v_single, cfg_b)(steps=2)
+v_mesh = make_video()
+DroidBackend(upd_params, v_mesh, cfg_b, mesh=Mesh(np.array(jax.devices()), ("ba",)))(steps=2)
+
+bp_err = np.abs(np.asarray(v_single.poses[:Fb]) - np.asarray(v_mesh.poses[:Fb])).max()
+bd_err = np.abs(np.asarray(v_single.disps[:Fb]) - np.asarray(v_mesh.disps[:Fb])).max()
+print("BACKEND_POSE_ERR", bp_err)
+print("BACKEND_DISP_ERR", bd_err)
+assert bp_err < 5e-3, bp_err
+assert bd_err < 5e-3, bd_err
+print("BACKEND_MESH_OK")
 """
 
 
@@ -132,6 +183,7 @@ def test_sharded_ba_and_dp_training():
     )
     assert "SHARDED_BA_OK" in result.stdout, result.stdout + result.stderr
     assert "DP_TRAIN_OK" in result.stdout, result.stdout + result.stderr
+    assert "BACKEND_MESH_OK" in result.stdout, result.stdout + result.stderr
 
 
 if __name__ == "__main__":

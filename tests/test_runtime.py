@@ -93,6 +93,34 @@ def test_stereo_tracking_smoke():
     assert np.all(np.isfinite(np.asarray(v.disps[: v.counter])))
 
 
+def test_live_visualizer_runs_during_tracking():
+    """The visualizer thread (reference droid.py:37-40 process analogue) must
+    produce filtered point clouds concurrently with tracking, headlessly."""
+    import time
+
+    d = Droid(make_config(), fused=True, visualize=False)
+    from droid_slam_tpu.utils.visualization import VisualizerThread
+
+    clouds = []
+    vis = VisualizerThread(
+        d, refresh_hz=20.0, sink=lambda p, c: clouds.append((p, c)),
+        open_window=False,
+    )
+    try:
+        for (t, img, intr) in frame_stream(8):
+            d.track(t, img, intrinsics=intr)
+        deadline = time.time() + 30.0
+        while vis.updates == 0 and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        vis.close()
+    assert vis.updates > 0
+    points, colors = vis.latest
+    assert points.ndim == 2 and points.shape[1] == 3
+    assert colors.shape == points.shape
+    assert len(clouds) == vis.updates
+
+
 def test_rgbd_depth_prior_seeds_disparity():
     """RGB-D: the sensor depth prior must seed keyframe disparities
     (depth_video.py:67-69 inversion + subsampling, alpha term in BA)."""
