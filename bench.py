@@ -7,16 +7,92 @@ grid), with every frame forced to become a keyframe (worst case: the real
 pipeline runs the frontend only on ~1/3 of frames).
 
 North star (BASELINE.md): >30 fps tracking on one TPU v5e chip.
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"};
+`extra` carries the secondary driver-readable metrics — terminate (global BA)
+wall time for the tracked session and a backend-scale `update_lowmem` probe
+at t≈200 keyframes / 16·t edges (the likelier regression surface now that
+tracking is past target). Set BENCH_BACKEND_T=0 to skip the backend probe,
+or to another keyframe count to rescale it.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def backend_scale_probe(t: int = 200, image_size=(240, 320)) -> dict:
+    """Time one global-BA step (`update_lowmem`: AltCorr + chunked update op
+    + block-sparse-Schur GN) over a synthetic t-keyframe map with ~16·t
+    proximity-style edges — the reference terminate path at ETH3D-ish scale
+    (/root/reference/droid_slam/factor_graph.py:255-302, droid_backend.py:32).
+    """
+    from droid_slam_tpu.models.droid_net import init_params
+    from droid_slam_tpu.ops import lie
+    from droid_slam_tpu.runtime.backend import _pow2ceil
+    from droid_slam_tpu.runtime.config import DroidConfig
+    from droid_slam_tpu.runtime.factor_graph import FactorGraph
+    from droid_slam_tpu.runtime.video import VideoState
+
+    cfg = DroidConfig(image_size=image_size, buffer=t + 8, window_pad=64)
+    h, w = cfg.feat_size
+    params = init_params(jax.random.PRNGKey(1))
+    upd = {"params": params["params"]["update"]}
+
+    rng = np.random.default_rng(5)
+    v = VideoState(cfg)
+    v.counter = t
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (cfg.buffer, 1))
+    tw = np.zeros((cfg.buffer, 6), np.float32)
+    tw[:t] = np.cumsum(0.01 * rng.standard_normal((t, 6)), axis=0).astype(np.float32)
+    v.poses = lie.retr(jnp.asarray(poses), jnp.asarray(tw))
+    v.disps = jnp.asarray((0.5 + rng.random((cfg.buffer, h, w))).astype(np.float32))
+    v.intrinsics = jnp.asarray(
+        np.broadcast_to(
+            np.array([image_size[1] / 8, image_size[1] / 8, w / 2, h / 2], np.float32),
+            (cfg.buffer, 4),
+        ).copy()
+    )
+    v.fmaps = jnp.asarray(rng.standard_normal((cfg.buffer, 1, h, w, 128)).astype(np.float32))
+    v.nets = jnp.asarray(np.tanh(rng.standard_normal((cfg.buffer, h, w, 128))).astype(np.float32))
+    v.inps = jnp.asarray(rng.standard_normal((cfg.buffer, h, w, 128)).astype(np.float32))
+
+    graph = FactorGraph(v, upd, max_factors=_pow2ceil(16 * t), inactive_pad=16)
+
+    # 16·t-edge graph: temporal neighborhood + random long-range, both directions
+    ii, jj = [], []
+    for i in range(t):
+        for d in (1, 2):
+            if i - d >= 0:
+                ii.extend([i, i - d])
+                jj.extend([i - d, i])
+    n_rand = 8 * t - len(ii) // 2
+    a = rng.integers(0, t, 2 * n_rand)
+    b = rng.integers(0, t, 2 * n_rand)
+    keep = np.abs(a - b) > 2
+    ii.extend(a[keep][:n_rand])
+    jj.extend(b[keep][:n_rand])
+    ii.extend(b[keep][:n_rand])
+    jj.extend(a[keep][:n_rand])
+    graph.add_factors(np.asarray(ii, np.int32), np.asarray(jj, np.int32))
+
+    n_edges = graph.num_active
+    graph.update_lowmem(steps=1)  # compile + warm
+    jax.block_until_ready(v.poses)
+
+    t_host0 = time.perf_counter()
+    graph.update_lowmem(steps=2)
+    jax.block_until_ready(v.poses)
+    dt = (time.perf_counter() - t_host0) / 2
+    return {
+        "backend_step_s": round(dt, 3),
+        "backend_keyframes": t,
+        "backend_edges": int(n_edges),
+    }
 
 
 def main():
@@ -62,6 +138,26 @@ def main():
     elapsed = time.perf_counter() - start
 
     fps = n_timed / elapsed
+
+    # ---- terminate (global BA) on the tracked session: first call pays the
+    # compiles (cold), the second measures the steady-state backend cost ----
+    t_term0 = time.perf_counter()
+    droid.terminate()
+    t_term_cold = time.perf_counter() - t_term0
+    t_term0 = time.perf_counter()
+    droid.terminate()
+    t_term = time.perf_counter() - t_term0
+    extra = {
+        "terminate_warm_s": round(t_term, 3),
+        "terminate_cold_s": round(t_term_cold, 3),
+        "terminate_keyframes": int(droid.video.counter),
+    }
+
+    # ---- backend-scale global BA probe ----
+    bt = int(os.environ.get("BENCH_BACKEND_T", "200"))
+    if bt > 0:
+        extra.update(backend_scale_probe(bt))
+
     print(
         json.dumps(
             {
@@ -69,6 +165,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
+                "extra": extra,
             }
         )
     )

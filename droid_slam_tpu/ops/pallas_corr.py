@@ -41,6 +41,11 @@ variant ≈ 3 s), but any TWO chained stages in one kernel either hang Mosaic
 formulations all affected. Until the toolchain clears, `corr_lookup_fused`
 (ops/corr.py) — the XLA one-hot formulation, ~45× faster than the naive
 gather path and fully fused — remains the production lookup.
+
+Round-2 re-test (2026-08-17, PALLAS_AXON_REMOTE_COMPILE=1): unchanged — a
+demo-scale `corr_level_pallas` compile (N=4, 1200 px, 30×40, r=3) did not
+return within a 900 s timeout (hang signature, no HTTP error this time).
+Re-test each round per CLAUDE.md.
 """
 
 from __future__ import annotations
