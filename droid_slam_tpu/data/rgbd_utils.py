@@ -137,3 +137,90 @@ def compute_distance_matrix_flow(
     matrix = matrix.reshape(N, N)
     matrix[matrix >= 1e9] = np.inf
     return matrix
+
+
+@jax.jit
+def _flow2_chunk(poses_w2c, disps, intrinsics, ii, jj, beta):
+    """Blended translation-only + beta·full-SE3 flow magnitude per pair, both
+    directions (rgbd_utils.py:145-190 compute_distance_matrix_flow2; the
+    fork's flow2b/val indexing typo — it reuses (ii, jj) for the reverse
+    direction — is corrected to the symmetric intent)."""
+    MAX_FLOW = 128.0
+    ht, wd = disps.shape[-2:]
+    grid = pops.coords_grid(ht, wd)
+
+    def tonly_flow(a, b):
+        Gij = pops.relative_poses(poses_w2c, a, b)
+        X0 = pops.iproj(jnp.take(disps, a, axis=0), jnp.take(intrinsics, a, axis=0))
+        X1 = X0.at[..., :3].add(X0[..., 3:4] * lie.translation(Gij)[:, None, None, :])
+        intr_b = jnp.take(intrinsics, b, axis=0)
+        fx, fy, cx, cy = (intr_b[:, k, None, None] for k in range(4))
+        Z = X1[..., 2]
+        zi = 1.0 / jnp.where(Z < 0.1, jnp.ones_like(Z), Z)
+        u = fx * X1[..., 0] * zi + cx
+        v = fy * X1[..., 1] * zi + cy
+        flow = jnp.stack([u, v], -1) - grid
+        val = (Z > 0.2).astype(disps.dtype)
+        return flow, val
+
+    def full_flow(a, b):
+        f, val = pops.induced_flow(poses_w2c, disps, intrinsics, a, b)
+        return f, val[..., 0]
+
+    def one_way(a, b):
+        fa, va = tonly_flow(a, b)
+        fb, vb = full_flow(a, b)
+        mag = jnp.minimum(
+            jnp.linalg.norm(fa + beta * fb, axis=-1), MAX_FLOW
+        )
+        return mag, va * vb
+
+    m1, v1 = one_way(ii, jj)
+    m2, v2 = one_way(jj, ii)
+    mag = jnp.concatenate(
+        [m1.reshape(m1.shape[0], -1), m2.reshape(m2.shape[0], -1)], -1
+    )
+    val = jnp.concatenate(
+        [v1.reshape(v1.shape[0], -1), v2.reshape(v2.shape[0], -1)], -1
+    )
+    mean_val = jnp.mean(val, axis=-1)
+    mean_mag = jnp.sum(mag * val, axis=-1) / jnp.maximum(jnp.sum(val, axis=-1), 1e-6)
+    return jnp.where(mean_val < 0.8, 1e9, mean_mag)
+
+
+def compute_distance_matrix_flow2(
+    poses_c2w: np.ndarray,
+    disps: np.ndarray,
+    intrinsics: np.ndarray,
+    beta: float = 0.4,
+    chunk: int = 2048,
+) -> np.ndarray:
+    """All-pairs blended-flow distance (rgbd_utils.py:145-190), feeding the
+    NMS graph builder `build_frame_graph_v2`."""
+    N = len(poses_c2w)
+    poses_w2c = lie.inv(jnp.asarray(poses_c2w, jnp.float32))
+    disps_j = jnp.asarray(disps, jnp.float32)
+    intr_j = jnp.asarray(np.broadcast_to(intrinsics, (N, 4)), jnp.float32)
+
+    ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+
+    matrix = np.zeros(N * N, np.float32)
+    for s in range(0, N * N, chunk):
+        a = ii[s : s + chunk]
+        b = jj[s : s + chunk]
+        pad = chunk - len(a)
+        ap = np.pad(a, (0, pad)).astype(np.int32)
+        bp = np.pad(b, (0, pad)).astype(np.int32)
+        d = np.asarray(
+            _flow2_chunk(
+                poses_w2c, disps_j, intr_j, jnp.asarray(ap), jnp.asarray(bp),
+                jnp.float32(beta),
+            )
+        )
+        matrix[s : s + len(a)] = d[: len(a)]
+
+    matrix = matrix.reshape(N, N)
+    matrix[matrix >= 1e9] = np.inf
+    return matrix

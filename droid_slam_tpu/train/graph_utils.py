@@ -78,3 +78,42 @@ def build_frame_graph(
             break
 
     return graph
+
+
+def build_frame_graph_v2(
+    poses_c2w: np.ndarray,
+    disps: np.ndarray,
+    intrinsics: np.ndarray,
+    num: int = 16,
+    thresh: float = 24.0,
+    r: int = 2,
+) -> "OrderedDict":
+    """NMS variant (graph_utils.py:72-112): greedy closest pairs by the
+    blended tonly+β·full flow distance, suppressing the 3×3 neighborhood of
+    every accepted edge; runs until no candidate beats `thresh` (the
+    reference's loop ignores `num`, kept for signature parity)."""
+    from ..data.rgbd_utils import compute_distance_matrix_flow2
+
+    N = len(poses_c2w)
+    d = compute_distance_matrix_flow2(
+        poses_c2w, disps[:, 3::8, 3::8], intrinsics / 8.0
+    )
+
+    graph = OrderedDict()
+    for i in range(N):
+        graph[i] = []
+        d[i, i] = np.inf
+        for j in range(i - r, i + r + 1):
+            if 0 <= j < N and i != j:
+                graph[i].append(j)
+                d[i, j] = np.inf
+
+    while True:
+        ix = int(np.argmin(d))
+        i, j = ix // N, ix % N
+        if not np.isfinite(d[i, j]) or d[i, j] >= thresh:
+            break
+        graph[i].append(j)
+        d[max(i - 1, 0) : i + 2, max(j - 1, 0) : j + 2] = np.inf
+
+    return graph
