@@ -46,20 +46,60 @@ def run_slam(config, weights, track_stream, fill_stream):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True,
-                        choices=["tum", "euroc", "eth3d", "tartanair"])
-    parser.add_argument("--datapath", required=True)
+                        choices=["tum", "euroc", "eth3d", "tartanair", "synthetic"])
+    parser.add_argument("--datapath", default=None,
+                        help="sequence dir; for synthetic: 'seed:<int>'")
+    parser.add_argument("--frames", type=int, default=96,
+                        help="synthetic: sequence length")
+    parser.add_argument("--image_size", type=int, nargs=2, default=[192, 256],
+                        help="synthetic: render resolution")
     parser.add_argument("--weights", default=None)
     parser.add_argument("--gt", default=None, help="ground-truth file (TUM format)")
     parser.add_argument("--stereo", action="store_true")
     parser.add_argument("--depth", action="store_true", help="eth3d: use RGB-D")
     parser.add_argument("--save_traj", default=None)
     args = parser.parse_args()
+    if args.dataset != "synthetic" and not args.datapath:
+        parser.error("--datapath is required for non-synthetic datasets")
 
     from ..data import streams
     from ..eval.ate import Trajectory, ate_rmse
-    from ..runtime.config import preset
+    from ..runtime.config import preset, DroidConfig
 
-    if args.dataset == "tum":
+    ref = None  # in-memory GT (synthetic); else loaded from `gt` path
+    if args.dataset == "synthetic":
+        # procedurally rendered mono sequence with exact GT — the in-repo
+        # accuracy protocol (no public dataset ships in this environment)
+        from ..data.synthetic import render_sequence
+
+        seed = 7
+        if args.datapath and args.datapath.startswith("seed:"):
+            seed = int(args.datapath.split(":", 1)[1])
+        seq = render_sequence(
+            np.random.default_rng(seed),
+            n_frames=args.frames,
+            image_size=tuple(args.image_size),
+            t_sigma=0.03,
+            r_sigma=0.008,
+        )
+        track = [
+            (k, seq["images"][k], seq["intrinsics"][k])
+            for k in range(args.frames)
+        ]
+        fill = track
+        config = DroidConfig(
+            image_size=tuple(args.image_size),
+            buffer=max(96, args.frames),
+            warmup=8,
+        )
+        scale_correct, pos_scale = True, 1.0
+        gt = None
+        ref = Trajectory(
+            np.arange(args.frames, dtype=np.float64),
+            seq["poses"][:, :3].astype(np.float64),
+            seq["poses"][:, 3:].astype(np.float64),
+        )
+    elif args.dataset == "tum":
         track = list(streams.tum_stream(args.datapath, stride=2))
         fill = track
         config = preset("tum")
@@ -101,7 +141,10 @@ def main():
 
     if gt is not None:
         ref = Trajectory.load_tum(gt)
+    if ref is not None:
         max_dt = 1e16 if args.dataset == "tartanair" else 0.02
+        if args.dataset == "synthetic":
+            max_dt = 0.25
         result = ate_rmse(ref, est, correct_scale=scale_correct, max_dt=max_dt)
         print({k: round(v, 6) if isinstance(v, float) else v for k, v in result.items()})
     else:

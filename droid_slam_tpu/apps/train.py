@@ -37,7 +37,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", default="droid", help="experiment name")
     parser.add_argument("--ckpt", help="checkpoint to restore")
-    parser.add_argument("--datapath", required=True)
+    parser.add_argument("--datapath", default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on procedurally rendered scenes "
+                        "(data/synthetic.py) instead of TartanAir")
+    parser.add_argument("--ckpt_every", type=int, default=10000)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--steps", type=int, default=250000)
     parser.add_argument("--lr", type=float, default=2.5e-4)
@@ -88,11 +92,18 @@ def main():
                 base_jj.append(j)
     n_edges = max(len(base_ii), args.edges + 4 * N)  # static pad
 
-    db = TartanAir(
-        datapath=args.datapath, n_frames=N, fmin=args.fmin, fmax=args.fmax,
-        crop_size=tuple(args.crop),
-    )
-    print(f"dataset: {len(db)} clips")
+    if args.synthetic:
+        from ..data.synthetic import SyntheticDataset
+
+        db = SyntheticDataset(n_frames=N, image_size=tuple(args.crop))
+        print("dataset: procedural synthetic scenes")
+    else:
+        assert args.datapath, "--datapath required unless --synthetic"
+        db = TartanAir(
+            datapath=args.datapath, n_frames=N, fmin=args.fmin, fmax=args.fmax,
+            crop_size=tuple(args.crop),
+        )
+        print(f"dataset: {len(db)} clips")
 
     params = init_params(jax.random.PRNGKey(0))
     state = init_state(params, cfg)
@@ -153,7 +164,7 @@ def main():
         total_steps += 1
         logger.push({k: float(v) for k, v in metrics.items()})
 
-        if total_steps % 10000 == 0:
+        if total_steps % args.ckpt_every == 0:
             path = f"checkpoints/{args.name}_{total_steps:06d}.msgpack"
             os.makedirs("checkpoints", exist_ok=True)
             checkpoints.save_params(path, jax.device_get(state["params"]))

@@ -46,14 +46,25 @@ class DroidNet(nn.Module):
 
     ``dtype`` is the computation dtype of all convolutions (params stay
     float32); the SLAM runtime uses bfloat16 for the ~4× MXU speedup, training
-    and parity tests keep float32."""
+    and parity tests keep float32.
+
+    ``remat`` rematerialises the update operator and the differentiable BA in
+    the backward pass: the unrolled training forward otherwise keeps every
+    step's conv/BA activations live (~15 steps × ~500 MB at 384×512), which
+    exceeds a 16 GB v5e chip — measured RESOURCE_EXHAUSTED without remat,
+    fits with it. The parameter tree is unchanged."""
 
     dtype: Any = None
+    remat: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=128, norm_fn="instance", dtype=self.dtype)
         self.cnet = BasicEncoder(output_dim=256, norm_fn="none", dtype=self.dtype)
-        self.update = UpdateModule(dtype=self.dtype)
+        # static_argnums: num_frames (arg 6 incl. self) shapes a jnp.arange
+        upd_cls = (
+            nn.remat(UpdateModule, static_argnums=(6,)) if self.remat else UpdateModule
+        )
+        self.update = upd_cls(dtype=self.dtype)
 
     def extract_features(self, images: Array) -> Tuple[Array, Array, Array]:
         """images: [B, H, W, 3] RGB 0-255 → (fmaps [B,h,w,128],
@@ -114,6 +125,8 @@ class DroidNet(nn.Module):
                 t, wgt, eta, g, d, k, ii, jj, fixedp=fixedp
             )
         )
+        if self.remat:
+            vmapped_ba = jax.checkpoint(vmapped_ba)
 
         poses_out, disps_out, resid_out = [], [], []
         for _ in range(num_steps):

@@ -40,13 +40,21 @@ class TrainConfig:
     w3: float = 0.05  # flow
     restart_prob: float = 0.2
     pct_start: float = 0.01
+    # rematerialise update-op + BA activations in backward: required to fit
+    # the 15-step unroll at 384x512 on a 16 GB chip (droid_net.DroidNet.remat)
+    remat: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # warmup must span >= 1 step: optax's onecycle divides by the interval
+    # length, and steps*pct_start < 1 yields a NaN learning rate at step 0
+    # (found when a 10-step smoke run silently NaN'd every parameter)
+    steps = max(cfg.steps, 2)
+    pct = min(max(cfg.pct_start, 1.0 / steps), 0.5)
     schedule = optax.cosine_onecycle_schedule(
-        transition_steps=cfg.steps,
+        transition_steps=steps,
         peak_value=cfg.lr,
-        pct_start=cfg.pct_start,
+        pct_start=pct,
     )
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip),
@@ -64,7 +72,7 @@ def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
     batch (train.py:91-99): pass `ii`/`jj`/`edge_valid` in the batch dict,
     padded to the same static length as the `ii`/`jj` given here (which
     serve as the default graph)."""
-    model = DroidNet()
+    model = DroidNet(remat=cfg.remat)
     tx = make_optimizer(cfg)
     ii = jnp.asarray(ii, jnp.int32)
     jj = jnp.asarray(jj, jnp.int32)

@@ -111,6 +111,10 @@ state = replicate_for_mesh(state, mesh_dp)
 state, metrics, _ = step(state, batch)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
+# the UPDATED parameters must be finite too (a NaN learning rate once
+# slipped through while the pre-update loss stayed finite)
+for path, leaf in jax.tree_util.tree_leaves_with_path(state["params"]):
+    assert np.all(np.isfinite(np.asarray(leaf))), jax.tree_util.keystr(path)
 print("DP_TRAIN_OK", loss)
 
 # ---- integrated backend: DroidBackend(mesh) vs single-device, full pass ----
