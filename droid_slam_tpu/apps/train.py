@@ -150,16 +150,18 @@ def main():
             "edge_valid": valid,
         }
 
-        # random restarts (train.py:102-118)
+        # random restarts (train.py:102-118); only adopt a finite estimate —
+        # a diverged forward must not poison the next step's initialisation
         r = 0.0
         while r < args.restart_prob:
             r = rng.random()
             sharded = shard_batch_for_mesh(train_batch, mesh)
             state, metrics, out = step_fn(state, sharded)
-            train_batch["poses_init"] = np.asarray(out.poses[-1])
-            train_batch["disps_init"] = np.asarray(
-                out.disps_up[-1][:, :, 3::8, 3::8]
-            )
+            poses_re = np.asarray(out.poses[-1])
+            disps_re = np.asarray(out.disps_up[-1][:, :, 3::8, 3::8])
+            if np.isfinite(poses_re).all() and np.isfinite(disps_re).all():
+                train_batch["poses_init"] = poses_re
+                train_batch["disps_init"] = np.clip(disps_re, 1e-3, 10.0)
 
         total_steps += 1
         logger.push({k: float(v) for k, v in metrics.items()})

@@ -57,6 +57,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         pct_start=pct,
     )
     return optax.chain(
+        # a single bad batch (degenerate scene -> NaN grads through the BA)
+        # must not poison the parameters forever; the reference gets partial
+        # protection from GradClip's NaN-zeroing (modules/clipping.py:13-16),
+        # this guards every leaf (observed: a 500-step run NaN'd without it)
+        optax.zero_nans(),
         optax.clip_by_global_norm(cfg.clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
