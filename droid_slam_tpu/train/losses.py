@@ -24,6 +24,17 @@ def _step_weights(n: int, gamma: float) -> Array:
     return gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
 
 
+def _safe_norm(x: Array, axis: int = -1) -> Array:
+    """L2 norm with a finite gradient at 0.
+
+    d‖x‖/dx = x/‖x‖ is NaN at exactly 0, and masking the VALUE (v·‖x‖)
+    does not mask the cotangent — one pixel whose estimated flow equals the
+    GT bit-for-bit poisons the whole gradient (observed in training: loss
+    finite, grad NaN). The 1e-12 floor perturbs the loss by ≤1e-6 px.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+
 def _relative(poses: Array, ii: Array, jj: Array) -> Array:
     """dP = P[jj] ∘ P[ii]⁻¹ along the frame axis (axis -2)."""
     Pi = jnp.take(poses, ii, axis=-2)
@@ -69,8 +80,8 @@ def geodesic_loss(
                 [dG[..., :3] * s[:, None, None], dG[..., 3:]], axis=-1
             )
         d = lie.log(lie.mul(dG, lie.inv(dP)))  # [B, N, 6]
-        tau = jnp.linalg.norm(d[..., :3], axis=-1)
-        phi = jnp.linalg.norm(d[..., 3:], axis=-1)
+        tau = _safe_norm(d[..., :3])
+        phi = _safe_norm(d[..., 3:])
         return masked_mean(tau) + masked_mean(phi), (tau, phi)
 
     losses, (taus, phis) = jax.vmap(one_step)(Gs_steps)
@@ -127,7 +138,7 @@ def flow_loss(
     def one_step(Gs, ds):
         coords1, val1 = transform(Gs, ds, intrinsics)
         v = (val0 * val1)[..., 0]
-        epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+        epe = v * _safe_norm(coords1 - coords0)
         return jnp.mean(epe), (epe, v)
 
     losses, (epes, vs) = jax.vmap(one_step)(poses_steps, disps_steps)
