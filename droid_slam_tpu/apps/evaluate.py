@@ -75,12 +75,16 @@ def main():
         seed = 7
         if args.datapath and args.datapath.startswith("seed:"):
             seed = int(args.datapath.split(":", 1)[1])
+        # motion sized so inter-frame flow at the 1/8 feature grid is
+        # ~2-3 px — the regime the reference's keyframe threshold
+        # (2.4 px mean 1/8-res flow, motion_filter.py:83) was tuned for;
+        # slower sequences never trigger keyframing and SLAM never starts
         seq = render_sequence(
             np.random.default_rng(seed),
             n_frames=args.frames,
             image_size=tuple(args.image_size),
-            t_sigma=0.03,
-            r_sigma=0.008,
+            t_sigma=0.25,
+            r_sigma=0.02,
         )
         track = [
             (k, seq["images"][k], seq["intrinsics"][k])
@@ -132,6 +136,7 @@ def main():
     config = dataclasses.replace(config, image_size=tuple(hw))
 
     traj_est, droid = run_slam(config, args.weights, track, fill)
+    print(f"keyframes: {droid.video.counter} / {len(track)} tracked frames")
     tstamps = np.asarray([item[0] for item in fill], np.float64)
 
     est = Trajectory(tstamps, pos_scale * traj_est[:, :3], traj_est[:, 3:])

@@ -86,6 +86,8 @@ def _smooth_trajectory(rng, n_frames: int, t_sigma: float, r_sigma: float):
     steps_t[:, 2] *= 0.5  # keep depth range stable
     centers = np.cumsum(steps_t, axis=0)
     centers -= centers[0]
+    # never drift through the scene geometry (back wall at z >= 2.2)
+    centers[:, 2] = np.clip(centers[:, 2], -0.8, 1.0)
     steps_r = r_sigma * rng.standard_normal((n_frames, 3))
     rotvecs = np.cumsum(steps_r, axis=0)
     rotvecs -= rotvecs[0]
@@ -157,19 +159,51 @@ def render_sequence(
 
 
 class SyntheticDataset:
-    """Trainer-facing stream of rendered clips (TartanAir.clips drop-in)."""
+    """Trainer-facing stream of rendered clips (TartanAir.clips drop-in).
 
-    def __init__(self, n_frames: int = 7, image_size=(96, 128), seed: int = 0):
+    ``pool`` pre-renders that many sequences and samples batches from them,
+    re-rendering one pool slot per batch: host ray-casting otherwise
+    dominates the step time (measured 1.3 s/step at 96×128 batch 8, mostly
+    rendering), while the pool keeps the device busy and still refreshes the
+    data distribution continuously. pool=0 renders every batch fresh.
+    """
+
+    def __init__(
+        self, n_frames: int = 7, image_size=(96, 128), seed: int = 0,
+        pool: int = 256,
+    ):
         self.n_frames = n_frames
         self.image_size = image_size
         self.rng = np.random.default_rng(seed)
+        self.pool_size = pool
+        self._pool = None
+
+    def _render(self):
+        # per-sequence motion scale, log-uniform: inter-frame flow at the
+        # 1/8 feature grid spans ~0.3-4 px — the regime the reference's
+        # TartanAir covisibility sampling targets (fmin/fmax on 1/8-res
+        # flow, base.py:106-119) and the keyframe threshold was tuned for.
+        # (First training run used a fixed tiny scale -> the trained filter
+        # never saw super-threshold flow and keyframing never triggered.)
+        t_sigma = float(np.exp(self.rng.uniform(np.log(0.08), np.log(0.5))))
+        r_sigma = float(np.exp(self.rng.uniform(np.log(0.008), np.log(0.05))))
+        return render_sequence(
+            self.rng, self.n_frames, self.image_size,
+            t_sigma=t_sigma, r_sigma=r_sigma,
+        )
 
     def clips(self, batch: int):
+        if self.pool_size:
+            if self._pool is None:
+                self._pool = [self._render() for _ in range(self.pool_size)]
         while True:
-            seqs = [
-                render_sequence(self.rng, self.n_frames, self.image_size)
-                for _ in range(batch)
-            ]
+            if self.pool_size:
+                idx = self.rng.choice(self.pool_size, size=batch, replace=False)
+                seqs = [self._pool[i] for i in idx]
+                # continuous refresh: one new scene per batch
+                self._pool[int(self.rng.integers(self.pool_size))] = self._render()
+            else:
+                seqs = [self._render() for _ in range(batch)]
             yield {
                 "images": np.stack([s["images"] for s in seqs]),
                 "poses": np.stack([s["poses"] for s in seqs]),
