@@ -137,3 +137,63 @@ def test_tum_stream_native_matches_cv2_path(monkeypatch, tmp_path):
         # undistort borders differ (zero-fill vs clamp); compare interiors
         d = np.abs(im0[20:-20, 20:-20].astype(int) - im1[20:-20, 20:-20].astype(int))
         assert d.max() <= 3 and d.mean() < 0.3
+
+
+def test_corrupt_images_fail_gracefully(tmp_path):
+    """Truncated/corrupt files must return None — NOT exit() the process
+    (libjpeg's default error_exit) or free an uninitialized pointer."""
+    from droid_slam_tpu.data import native_loader as nl
+
+    if not nl.available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+
+    bad_jpg = tmp_path / "bad.jpg"
+    bad_jpg.write_bytes(b"\xff\xd8\xff\xe0garbage-not-a-jpeg")
+    assert nl.imread(str(bad_jpg)) is None
+
+    bad_png = tmp_path / "bad.png"
+    bad_png.write_bytes(b"\x89PNG\r\n\x1a\ngarbage")
+    assert nl.imread(str(bad_png)) is None
+
+    # truncated but valid-header JPEG: encode a real image, cut it short
+    img = _smooth_image(64, 64)
+    ok_path = tmp_path / "ok.jpg"
+    cv2.imwrite(str(ok_path), img[..., ::-1])
+    data = ok_path.read_bytes()
+    trunc = tmp_path / "trunc.jpg"
+    trunc.write_bytes(data[: len(data) // 2])
+    # libjpeg may recover a partial image or fail; either way: no crash,
+    # and a returned image has the full declared shape
+    out = nl.imread(str(trunc))
+    if out is not None:
+        assert out.shape == (64, 64, 3)
+
+    missing = nl.imread(str(tmp_path / "nope.png"))
+    assert missing is None
+
+
+def test_pipeline_skips_corrupt_frames(tmp_path):
+    """The prefetch pipeline must deliver the good frames in order and skip
+    undecodable ones (status -1 path)."""
+    from droid_slam_tpu.data import native_loader as nl
+
+    if not nl.available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.png"
+        if i == 2:
+            p.write_bytes(b"\x89PNG\r\n\x1a\ngarbage")
+        else:
+            cv2.imwrite(str(p), _smooth_image(32, 48)[..., ::-1])
+        paths.append(str(p))
+
+    frames = list(nl.Pipeline(paths, n_threads=2, window=4))
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (32, 48, 3)
