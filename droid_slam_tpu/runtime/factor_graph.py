@@ -152,15 +152,20 @@ def _edge_confidence_kernel(graph: EdgeState) -> Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_update_step(stereo: bool, upsample: bool = False):
+def _build_update_step(stereo: bool, upsample: bool = False, dtype: str = "float32"):
     """Build the jitted one-iteration operator update (factor_graph.py:199-251).
 
     With ``upsample``, the step also maintains the full-resolution disparity
     buffer: post-BA window disparities are convex-upsampled with the GraphAgg
     mask and written into ``disps_up`` at frames touched by active edges
-    (reference factor_graph.py:248-249 + depth_video.py:126-130)."""
+    (reference factor_graph.py:248-249 + depth_video.py:126-130).
 
-    update_op = UpdateModule()
+    ``dtype`` is the conv computation dtype (bfloat16 in production — the
+    channel-heavy update operator takes the MXU speedup; geometry/BA stays
+    float32; the heads cast their outputs back to float32)."""
+
+    cdt = None if dtype == "float32" else jnp.dtype(dtype)
+    update_op = UpdateModule(dtype=cdt)
 
     @functools.partial(
         jax.jit,
@@ -224,7 +229,10 @@ def _build_update_step(stereo: bool, upsample: bool = False):
         )
 
         target = coords1 + delta
-        graph = graph._replace(net=net, target=target, weight=weight)
+        # hidden-state slots stay f32 (stable jit signature across calls)
+        graph = graph._replace(
+            net=net.astype(graph.net.dtype), target=target, weight=weight
+        )
 
         # persist damping at frames touched by active edges (only)
         touched_rel = (
@@ -298,7 +306,11 @@ def _build_update_step(stereo: bool, upsample: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _build_lowmem_step(
-    stereo: bool, chunk: int = 256, upsample: bool = False, do_ba: bool = True
+    stereo: bool,
+    chunk: int = 256,
+    upsample: bool = False,
+    do_ba: bool = True,
+    dtype: str = "float32",
 ):
     """Build the jitted low-memory global-BA iteration (factor_graph.py:255-302).
 
@@ -311,7 +323,8 @@ def _build_lowmem_step(
     run once over the whole buffer — identical math, static shapes.
     """
 
-    update_op = UpdateModule()
+    cdt = None if dtype == "float32" else jnp.dtype(dtype)
+    update_op = UpdateModule(dtype=cdt)
 
     @functools.partial(
         jax.jit,
@@ -383,10 +396,14 @@ def _build_lowmem_step(
         net, target, weight = jax.lax.map(body, chunks)
         unpad = lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:N]
         net, target, weight = unpad(net), unpad(target), unpad(weight)
-        graph = graph._replace(net=net, target=target, weight=weight)
+        graph = graph._replace(
+            net=net.astype(graph.net.dtype),
+            target=target.astype(jnp.float32),
+            weight=weight.astype(jnp.float32),
+        )
 
         # graph aggregation over ALL edges at once (damping + upmask)
-        eta_all, upmask = GraphAgg().apply(
+        eta_all, upmask = GraphAgg(dtype=cdt).apply(
             {"params": params["params"]["agg"]}, net, ii, B, valid
         )
         touched = (
@@ -471,7 +488,10 @@ class FactorGraph:
         self.inactive = _empty_inactive(inactive_pad, h, w)
         self.damping = 1e-6 * jnp.ones((video.config.buffer, h, w), jnp.float32)
 
-        self._update_step = _build_update_step(video.config.stereo, upsample)
+        self._update_step = _build_update_step(
+            video.config.stereo, upsample,
+            dtype=getattr(video.config, "compute_dtype", "float32"),
+        )
         self._lowmem_step = None  # built lazily by update_lowmem
 
     # ------------------------------------------------------------- queries
@@ -749,6 +769,7 @@ class FactorGraph:
                 self.video.config.stereo,
                 upsample=self.upsample,
                 do_ba=(mesh is None),
+                dtype=getattr(self.video.config, "compute_dtype", "float32"),
             )
         t = self.video.counter
         if t1 is None:
