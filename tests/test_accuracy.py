@@ -1,0 +1,73 @@
+"""End-to-end accuracy with trained weights on the synthetic protocol.
+
+The repo ships weights trained in-environment on procedural scenes
+(apps/train.py --synthetic); this test runs the FULL SLAM pipeline —
+motion filter, frontend, global backend, trajectory filler — on a held-out
+rendered sequence with exact ground truth and requires:
+
+  * keyframing operates in the intended regime (a real fraction of frames
+    selected, not 0 or all),
+  * scale-corrected ATE beats the untrained floor by a wide margin
+    (measured in round 2: random weights 1.13 ATE with tracking never
+    engaging; trained weights ~0.15-0.19 with 16/48 keyframes).
+
+This is the in-environment stand-in for the reference's evo-scored
+evaluation scripts (/root/reference/evaluation_scripts/test_*.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights",
+    "droid_synth.msgpack",
+)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="trained weights absent")
+def test_trained_weights_track_synthetic_sequence():
+    from droid_slam_tpu.data.synthetic import render_sequence
+    from droid_slam_tpu.eval.ate import Trajectory, ate_rmse
+    from droid_slam_tpu.runtime import Droid
+    from droid_slam_tpu.runtime.config import DroidConfig
+
+    frames, H, W = 48, 192, 256
+    seq = render_sequence(
+        np.random.default_rng(7), n_frames=frames, image_size=(H, W),
+        t_sigma=0.25, r_sigma=0.02,
+    )
+    droid = Droid(
+        DroidConfig(image_size=(H, W), buffer=max(96, frames), warmup=8),
+        weights=WEIGHTS,
+    )
+    for k in range(frames):
+        droid.track(
+            k, jnp.asarray(seq["images"][k]),
+            intrinsics=jnp.asarray(seq["intrinsics"][k]),
+        )
+    droid.sync()
+    stream = [(k, seq["images"][k], seq["intrinsics"][k]) for k in range(frames)]
+    traj = droid.terminate(iter(stream))
+
+    kf = droid.video.counter
+    assert 6 <= kf <= frames - 4, f"keyframing degenerate: {kf}/{frames}"
+
+    ref = Trajectory(
+        np.arange(frames, dtype=np.float64),
+        seq["poses"][:, :3].astype(np.float64),
+        seq["poses"][:, 3:].astype(np.float64),
+    )
+    est = Trajectory(np.arange(frames, dtype=np.float64), traj[:, :3], traj[:, 3:])
+    r = ate_rmse(ref, est, correct_scale=True, max_dt=0.25)
+    # measured ~0.15-0.19 in round 2; untrained floor is 1.13
+    assert r["ate_rmse"] < 0.40, r
+
+
+if __name__ == "__main__":
+    pytest.main(["-x", __file__, "-q", "-m", "slow"])
