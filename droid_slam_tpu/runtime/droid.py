@@ -125,21 +125,29 @@ class Droid:
 
     def _sync_fused_state(self):
         """One blocking read: materialise the fused device state into the
-        host-driven VideoState for the backend / trajectory filler."""
+        host-driven VideoState for the backend / trajectory filler.
+
+        Buffers are COPIED, not aliased: the backend/filler kernels donate
+        the VideoState arrays in place, and an alias of the live fused state
+        would be deleted by that donation — a second terminate (or the
+        visualizer polling during one) would then read dead buffers
+        (INVALID_ARGUMENT from the runtime)."""
+        import jax.numpy as jnp
+
         st = self._fused_state
         v = self.video
         v.counter = int(st.counter)
-        v.tstamp = st.tstamp
-        v.images = st.images
-        v.poses = st.poses
-        v.disps = st.disps
-        v.disps_sens = st.disps_sens
-        v.intrinsics = st.intrinsics
-        v.fmaps = st.fmaps
-        v.nets = st.nets
-        v.inps = st.inps
+        v.tstamp = jnp.copy(st.tstamp)
+        v.images = jnp.copy(st.images)
+        v.poses = jnp.copy(st.poses)
+        v.disps = jnp.copy(st.disps)
+        v.disps_sens = jnp.copy(st.disps_sens)
+        v.intrinsics = jnp.copy(st.intrinsics)
+        v.fmaps = jnp.copy(st.fmaps)
+        v.nets = jnp.copy(st.nets)
+        v.inps = jnp.copy(st.inps)
         if self.config.upsample:
-            v.disps_up = st.disps_up
+            v.disps_up = jnp.copy(st.disps_up)
         v.dirty[: v.counter] = True
 
     def terminate(self, stream=None) -> np.ndarray:
