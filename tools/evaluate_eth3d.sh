@@ -1,0 +1,8 @@
+#!/bin/bash
+# Batch ETH3D-SLAM evaluation (reference tools/evaluate_eth3d.sh counterpart).
+ETH3D_PATH=${ETH3D_PATH:-datasets/ETH3D-SLAM/training}
+
+for seq in "$ETH3D_PATH"/*/; do
+    python -m droid_slam_tpu.apps.evaluate --dataset eth3d \
+        --datapath "$seq" --depth "$@"
+done
