@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -114,7 +115,8 @@ def main():
         fill = list(streams.euroc_stream(args.datapath, stereo=False, stride=1))
         config = preset("euroc", stereo=args.stereo)
         scale_correct, pos_scale = True, 1.10
-        gt = args.gt
+        gt_csv = f"{args.datapath}/mav0/state_groundtruth_estimate0/data.csv"
+        gt = args.gt or (gt_csv if os.path.exists(gt_csv) else None)
     elif args.dataset == "eth3d":
         track = list(streams.eth3d_stream(args.datapath, use_depth=args.depth, stride=1))
         fill = list(streams.eth3d_stream(args.datapath, use_depth=False, stride=1))
@@ -138,6 +140,11 @@ def main():
     traj_est, droid = run_slam(config, args.weights, track, fill)
     print(f"keyframes: {droid.video.counter} / {len(track)} tracked frames")
     tstamps = np.asarray([item[0] for item in fill], np.float64)
+    if args.dataset == "euroc":
+        # euroc_stream stamps frames with the raw filename time in
+        # NANOseconds (streams.py); the GT loader and the association
+        # tolerance below work in seconds.
+        tstamps = tstamps / 1e9
 
     est = Trajectory(tstamps, pos_scale * traj_est[:, :3], traj_est[:, 3:])
     if args.save_traj:
@@ -145,7 +152,7 @@ def main():
         print(f"saved trajectory to {args.save_traj}")
 
     if gt is not None:
-        ref = Trajectory.load_tum(gt)
+        ref = Trajectory.load(gt)
     if ref is not None:
         max_dt = 1e16 if args.dataset == "tartanair" else 0.02
         if args.dataset == "synthetic":

@@ -44,6 +44,28 @@ class Trajectory:
         )
         np.savetxt(path, data, fmt="%.9f")
 
+    @staticmethod
+    def load_euroc_csv(path: str) -> "Trajectory":
+        """Load ground truth straight from a EuRoC sequence's own
+        ``mav0/state_groundtruth_estimate0/data.csv`` (columns: timestamp[ns],
+        p_xyz, q_wxyz, ...). The reference instead ships pre-converted copies
+        in-repo (/root/reference/data/euroc_groundtruth/*.txt, consumed at
+        /root/reference/evaluation_scripts/test_euroc.py:134); reading the
+        dataset's native CSV removes that shipped-data dependency.
+        Timestamps are converted ns → seconds; quaternions wxyz → xyzw."""
+        data = np.loadtxt(path, comments="#", delimiter=",", dtype=np.float64)
+        tstamps = data[:, 0] / 1e9
+        positions = data[:, 1:4]
+        quats = data[:, [5, 6, 7, 4]]  # wxyz -> xyzw
+        return Trajectory(tstamps, positions, quats)
+
+    @staticmethod
+    def load(path: str) -> "Trajectory":
+        """Dispatch on extension: .csv = EuRoC native, else TUM text."""
+        if path.endswith(".csv"):
+            return Trajectory.load_euroc_csv(path)
+        return Trajectory.load_tum(path)
+
 
 def associate(
     t_a: np.ndarray, t_b: np.ndarray, max_dt: float = 0.02

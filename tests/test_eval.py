@@ -96,6 +96,33 @@ def test_ate_association_stride_protocol():
     assert r["ate_rmse"] < 1e-9
 
 
+def test_load_euroc_csv(tmp_path):
+    """EuRoC native GT CSV (ns timestamps, wxyz quats) loads into the TUM
+    convention (seconds, xyzw) and scores against a seconds-stamped estimate."""
+    T = 20
+    ts_ns = 1403636580863555584 + np.arange(T) * 5_000_000  # 200 Hz
+    pos = np.cumsum(0.02 * rng.standard_normal((T, 3)), axis=0)
+    quat_wxyz = np.tile([1.0, 0, 0, 0], (T, 1))
+    rows = np.concatenate(
+        [ts_ns[:, None].astype(np.float64), pos, quat_wxyz,
+         np.zeros((T, 9))], axis=1,  # velocity/bias columns present in data.csv
+    )
+    csv = tmp_path / "data.csv"
+    header = "#timestamp, p_RS_R_x [m], ..."
+    np.savetxt(csv, rows, delimiter=",", header=header, fmt="%.9f")
+
+    gt = Trajectory.load_euroc_csv(str(csv))
+    assert np.allclose(gt.tstamps, ts_ns / 1e9)
+    assert np.allclose(gt.quats, np.tile([0, 0, 0, 1.0], (T, 1)))
+
+    est = Trajectory(ts_ns / 1e9, pos, gt.quats)
+    r = ate_rmse(gt, est, correct_scale=False, max_dt=0.02)
+    assert r["n_pairs"] == T and r["ate_rmse"] < 1e-9
+
+    # extension dispatch
+    assert np.allclose(Trajectory.load(str(csv)).positions, gt.positions)
+
+
 def test_associate_by_timestamp():
     ia, ib = associate(np.array([0.0, 1.0, 2.0]), np.array([0.005, 2.01, 5.0]))
     assert list(ia) == [0, 2]
