@@ -11,7 +11,45 @@ chip under axon, CPU elsewhere). Two adjustments:
     themselves in a subprocess with JAX_PLATFORMS=cpu and
     --xla_force_host_platform_device_count=8 (see tests/test_parallel.py),
     because the platform must be chosen before JAX initialises.
+  * when the axon TPU tunnel is configured but unreachable, the session
+    fails fast with instructions instead of hanging in the plugin's
+    connect-retry loop at the first jax.devices() (a down relay once cost a
+    whole session's test budget). CPU fallback:
+      env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest tests/
 """
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _axon_tunnel_expected() -> bool:
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and (
+        os.environ.get("JAX_PLATFORMS", "axon") == "axon"
+    )
+
+
+def pytest_sessionstart(session):
+    if not _axon_tunnel_expected():
+        return
+    # sitecustomize registers the axon PJRT plugin at interpreter start; a
+    # dead relay then blocks backend init forever. Probe in a subprocess
+    # with a hard timeout — the probe also warms plugin discovery.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=90, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        raise pytest.UsageError(
+            "axon TPU tunnel configured (PALLAS_AXON_POOL_IPS set) but "
+            "jax.devices() hung >90s — the relay is down. Run on CPU with:\n"
+            "  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu "
+            "python -m pytest tests/"
+        )
+
 
 import jax
 

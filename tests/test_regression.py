@@ -66,7 +66,10 @@ print("wrote", os.environ["TRAJ_OUT"])
 
 def _run_pipeline(out_path: str):
     env = dict(os.environ, TRAJ_OUT=out_path)
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize's plugin blocks CPU-pinned children in its
+    # connect-retry loop when the tunnel is down — scrub it (child is CPU)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     res = subprocess.run(
         [sys.executable, "-c", CHILD],
         env=env,
