@@ -57,6 +57,11 @@ def main():
     parser.add_argument("--weights", default=None)
     parser.add_argument("--gt", default=None, help="ground-truth file (TUM format)")
     parser.add_argument("--stereo", action="store_true")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["bfloat16", "float32"],
+                        help="override the runtime compute dtype (bf16 is the "
+                        "TPU default; use float32 on CPU, where bf16 is "
+                        "emulated and ~2x slower)")
     parser.add_argument("--depth", action="store_true", help="eth3d: use RGB-D")
     parser.add_argument("--save_traj", default=None)
     args = parser.parse_args()
@@ -136,6 +141,8 @@ def main():
     import dataclasses
 
     config = dataclasses.replace(config, image_size=tuple(hw))
+    if args.compute_dtype:
+        config = dataclasses.replace(config, compute_dtype=args.compute_dtype)
 
     traj_est, droid = run_slam(config, args.weights, track, fill)
     print(f"keyframes: {droid.video.counter} / {len(track)} tracked frames")
