@@ -36,7 +36,15 @@ def pad_graph(ii, jj, n_edges: int):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", default="droid", help="experiment name")
-    parser.add_argument("--ckpt", help="checkpoint to restore")
+    parser.add_argument("--ckpt", help="params-only checkpoint to restore (msgpack)")
+    parser.add_argument("--resume", help="full train-state checkpoint dir (orbax): "
+                        "restores params + optimizer + step counter")
+    parser.add_argument("--schedule", default="onecycle",
+                        choices=["onecycle", "constant"],
+                        help="lr schedule; use constant for low-lr fine-tune resumes")
+    parser.add_argument("--state_every", type=int, default=0,
+                        help="save a full resumable train state (orbax) every N "
+                        "steps in addition to the msgpack params (0 = off)")
     parser.add_argument("--datapath", default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on procedurally rendered scenes "
@@ -80,6 +88,7 @@ def main():
         lr=args.lr, steps=args.steps, n_frames=args.n_frames,
         num_iters=args.iters, clip=args.clip,
         w1=args.w1, w2=args.w2, w3=args.w3, restart_prob=args.restart_prob,
+        schedule=args.schedule,
     )
 
     N = args.n_frames
@@ -107,7 +116,11 @@ def main():
 
     params = init_params(jax.random.PRNGKey(0))
     state = init_state(params, cfg)
-    if args.ckpt:
+    if args.resume:
+        state = checkpoints.restore_train_state(args.resume, state)
+        print(f"resumed full train state from {args.resume} "
+              f"(step {int(state['step'])})")
+    elif args.ckpt:
         state["params"] = checkpoints.load_params(args.ckpt, state["params"])
 
     mesh = Mesh(np.array(jax.devices()), ("dp",))
@@ -116,7 +129,7 @@ def main():
 
     logger = Logger(args.name)
     rng = np.random.default_rng(12345)
-    total_steps = 0
+    total_steps = int(jax.device_get(state["step"]))
 
     for batch in db.clips(args.batch):
         # poses: dataset convention c2w → w2c (train.py:86-88)
@@ -151,8 +164,9 @@ def main():
         }
 
         # random restarts (train.py:102-118); only adopt a finite estimate —
-        # a diverged forward must not poison the next step's initialisation
-        r = 0.0
+        # a diverged forward must not poison the next step's initialisation.
+        # Always run at least one step (restart_prob=0 must still train).
+        r = -1.0
         while r < args.restart_prob:
             r = rng.random()
             sharded = shard_batch_for_mesh(train_batch, mesh)
@@ -171,6 +185,10 @@ def main():
             os.makedirs("checkpoints", exist_ok=True)
             checkpoints.save_params(path, jax.device_get(state["params"]))
             print(f"saved {path}")
+        if args.state_every and total_steps % args.state_every == 0:
+            spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
+            checkpoints.save_train_state(spath, jax.device_get(state))
+            print(f"saved {spath}")
 
         if total_steps >= args.steps:
             break

@@ -40,6 +40,10 @@ class TrainConfig:
     w3: float = 0.05  # flow
     restart_prob: float = 0.2
     pct_start: float = 0.01
+    # lr schedule: "onecycle" (reference, train.py:157) for from-scratch runs,
+    # "constant" for low-lr fine-tune resumes (the reference has no resume
+    # story at all — it restores params only, train.py:57-58)
+    schedule: str = "onecycle"
     # rematerialise update-op + BA activations in backward: required to fit
     # the 15-step unroll at 384x512 on a 16 GB chip (droid_net.DroidNet.remat)
     remat: bool = True
@@ -51,11 +55,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # (found when a 10-step smoke run silently NaN'd every parameter)
     steps = max(cfg.steps, 2)
     pct = min(max(cfg.pct_start, 1.0 / steps), 0.5)
-    schedule = optax.cosine_onecycle_schedule(
-        transition_steps=steps,
-        peak_value=cfg.lr,
-        pct_start=pct,
-    )
+    if cfg.schedule == "constant":
+        # a callable (not a float): keeps the optimizer state tree identical
+        # to the onecycle one, so an orbax train state saved under either
+        # schedule restores under the other
+        schedule = optax.constant_schedule(cfg.lr)
+    else:
+        schedule = optax.cosine_onecycle_schedule(
+            transition_steps=steps,
+            peak_value=cfg.lr,
+            pct_start=pct,
+        )
     return optax.chain(
         # a single bad batch (degenerate scene -> NaN grads through the BA)
         # must not poison the parameters forever; the reference gets partial

@@ -12,8 +12,10 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation
 
+import chex
 import jax
 import jax.numpy as jnp
+import optax
 
 from droid_slam_tpu.models.droid_net import init_params
 from droid_slam_tpu.train.trainer import TrainConfig, init_state, make_train_step
@@ -163,6 +165,44 @@ def test_trainer_learns_synthetic_scene():
     assert end < 0.5 * start, (start, end, canon_losses)
     assert np.mean(canon_rots[-3:]) < np.mean(canon_rots[:3]), canon_rots
 
+
+
+def test_train_state_resume_roundtrip(tmp_path):
+    """Full train-state checkpointing (params + optimizer + step), a
+    capability the reference lacks (it restores params only, train.py:57-58).
+    The constant-lr fine-tune schedule must restore a state saved under
+    onecycle — make_optimizer keeps the opt_state tree identical."""
+    from droid_slam_tpu.train import checkpoints
+    from droid_slam_tpu.train.trainer import make_optimizer
+
+    params = {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}}
+    cfg = TrainConfig(steps=10, schedule="onecycle")
+    state = init_state(params, cfg)
+    # advance the optimizer once so the saved state is non-trivial
+    tx = make_optimizer(cfg)
+    grads = jax.tree.map(jnp.ones_like, params["params"])
+    upd, opt_state = tx.update(grads, state["opt_state"], params["params"])
+    state = {
+        "params": {"params": optax.apply_updates(params["params"], upd)},
+        "opt_state": opt_state,
+        "step": jnp.int32(3),
+    }
+
+    path = str(tmp_path / "state")
+    checkpoints.save_train_state(path, jax.device_get(state))
+
+    for schedule in ("onecycle", "constant"):
+        tgt = init_state(params, TrainConfig(steps=10, schedule=schedule))
+        restored = checkpoints.restore_train_state(path, tgt)
+        assert int(restored["step"]) == 3
+        chex.assert_trees_all_close(
+            restored["params"], state["params"], atol=0, rtol=0
+        )
+        chex.assert_trees_all_close(
+            jax.device_get(restored["opt_state"]),
+            jax.device_get(state["opt_state"]),
+            atol=0, rtol=0,
+        )
 
 
 def test_build_frame_graph_v2_nms():
