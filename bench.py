@@ -95,7 +95,34 @@ def backend_scale_probe(t: int = 200, image_size=(240, 320)) -> dict:
     }
 
 
+def _probe_tunnel():
+    """Fail fast (not hang) when the axon relay is down — same pattern as
+    tests/conftest.py. A dead relay blocks jax.devices() forever in the
+    plugin's connect-retry loop; probe it in a subprocess with a deadline."""
+    import subprocess
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=120, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench: axon TPU tunnel configured but jax.devices() hung >120s "
+            "— relay down; refusing to hang. CPU run: "
+            "env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python bench.py",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _probe_tunnel()
     from droid_slam_tpu.runtime import Droid, DroidConfig
 
     config = DroidConfig(
