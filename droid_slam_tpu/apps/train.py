@@ -163,19 +163,28 @@ def main():
             "edge_valid": valid,
         }
 
-        # random restarts (train.py:102-118); only adopt a finite estimate —
-        # a diverged forward must not poison the next step's initialisation.
-        # Always run at least one step (restart_prob=0 must still train).
+        # random restarts (train.py:102-118): like the reference's repeated
+        # loss.backward(), gradients ACCUMULATE across restart passes and a
+        # single optimizer step is taken per batch. Only adopt a finite
+        # estimate as the next pass's initialisation — a diverged forward
+        # must not poison it. Always run at least one pass (restart_prob=0
+        # must still train).
+        grads_sum = None
         r = -1.0
         while r < args.restart_prob:
             r = rng.random()
             sharded = shard_batch_for_mesh(train_batch, mesh)
-            state, metrics, out = step_fn(state, sharded)
+            grads, metrics, out = step_fn.grad(state["params"], sharded)
+            grads_sum = (
+                grads if grads_sum is None
+                else jax.tree.map(jnp.add, grads_sum, grads)
+            )
             poses_re = np.asarray(out.poses[-1])
             disps_re = np.asarray(out.disps_up[-1][:, :, 3::8, 3::8])
             if np.isfinite(poses_re).all() and np.isfinite(disps_re).all():
                 train_batch["poses_init"] = poses_re
                 train_batch["disps_init"] = np.clip(disps_re, 1e-3, 10.0)
+        state = step_fn.apply(state, grads_sum)
 
         total_steps += 1
         logger.push({k: float(v) for k, v in metrics.items()})

@@ -61,8 +61,14 @@ class _Plane:
             )
             chans.append(v)
         t = np.stack(chans, axis=-1)
-        t = (t - t.min()) / (np.ptp(t) + 1e-9)
-        return (255 * t).astype(np.uint8)
+        # normalize by a FIXED per-plane range (±3σ of the sine mixture,
+        # σ² = Σ aₖ²/2, clipped), not by the min/ptp of the pixels visible in
+        # this call: a per-call normalization would give the same world point
+        # a different color in different frames, breaking the exact
+        # photometric consistency this module promises
+        bound = 3.0 * np.sqrt(0.5 * (self.amp**2).sum(axis=1))  # per channel
+        t = (t + bound) / (2.0 * bound)
+        return (255 * np.clip(t, 0.0, 1.0)).astype(np.uint8)
 
 
 def _make_world(rng) -> list:

@@ -313,31 +313,40 @@ def build_sharded_ba(
     return run
 
 
+def _put_sharded(mesh: Mesh, axis: str, x):
+    return jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
+    )
+
+
+def place_plan_constants(mesh: Mesh, plan: ShardedBAPlan, axis: str = "ba"):
+    """Place the per-topology constant plan arrays on the mesh ONCE; only
+    target/weight change between GN steps of the same graph, so callers
+    looping sharded_ba_solve should hoist this out of the loop."""
+    return tuple(
+        _put_sharded(mesh, axis, x)
+        for x in (
+            plan.ii, plan.jj, plan.valid,
+            plan.pair_a, plan.pair_b, plan.pair_valid, plan.f0,
+        )
+    )
+
+
 def place_plan(
     mesh: Mesh,
     plan: ShardedBAPlan,
     target: Array,
     weight: Array,
     axis: str = "ba",
+    constants=None,
 ):
     """Shard the plan + per-edge data over the mesh axis (device-side gather)."""
-
-    def put_sharded(x):
-        return jax.device_put(
-            jnp.asarray(x), NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
-        )
-
+    if constants is None:
+        constants = place_plan_constants(mesh, plan, axis)
     return (
-        put_sharded(plan.shard_edge_data_device(target)),
-        put_sharded(plan.shard_edge_data_device(weight)),
-        put_sharded(plan.ii),
-        put_sharded(plan.jj),
-        put_sharded(plan.valid),
-        put_sharded(plan.pair_a),
-        put_sharded(plan.pair_b),
-        put_sharded(plan.pair_valid),
-        put_sharded(plan.f0),
-    )
+        _put_sharded(mesh, axis, plan.shard_edge_data_device(target)),
+        _put_sharded(mesh, axis, plan.shard_edge_data_device(weight)),
+    ) + tuple(constants)
 
 
 def sharded_ba_solve(
@@ -355,6 +364,7 @@ def sharded_ba_solve(
     window: int,
     iterations: int = 2,
     axis: str = "ba",
+    constants=None,  # pre-placed output of place_plan_constants (hoist per graph)
     **kw,
 ) -> Tuple[Array, Array]:
     """Multi-iteration sharded GN solve: place data once, iterate the cached
@@ -362,7 +372,8 @@ def sharded_ba_solve(
     semantics). This is the backend's distributed `droid_backends.ba`
     replacement (droid.cpp:680-798 / BASELINE north star 3)."""
     run = build_sharded_ba(mesh, window, plan.frames_per_shard, axis=axis, **kw)
-    plan_arrays = place_plan(mesh, plan, target, weight, axis=axis)
+    plan_arrays = place_plan(mesh, plan, target, weight, axis=axis,
+                             constants=constants)
 
     def put_repl(x):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))

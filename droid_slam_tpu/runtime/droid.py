@@ -153,6 +153,13 @@ class Droid:
     def terminate(self, stream=None) -> np.ndarray:
         """Global BA + trajectory fill; returns camera-to-world poses [T, 7]
         (droid.py:75-89)."""
+        # stop the visualizer BEFORE global BA: in fused mode its poll calls
+        # _sync_fused_state(), which would overwrite video.poses/disps with
+        # the stale pre-terminate fused state between backend steps and
+        # silently revert the optimization
+        if self.visualizer is not None:
+            self.visualizer.close()
+
         if self.fused:
             self._sync_fused_state()
         else:
@@ -160,9 +167,6 @@ class Droid:
 
         self.backend(7)
         self.backend(12)
-
-        if self.visualizer is not None:
-            self.visualizer.close()
 
         if stream is not None:
             return self.traj_filler(stream)

@@ -764,13 +764,16 @@ class FactorGraph:
         update operator produces targets/weights as usual, then the per-edge
         linearisation + Schur reduction is sharded over the mesh with one
         psum of the pose system per iteration."""
-        if self._lowmem_step is None:
-            self._lowmem_step = _build_lowmem_step(
-                self.video.config.stereo,
-                upsample=self.upsample,
-                do_ba=(mesh is None),
-                dtype=getattr(self.video.config, "compute_dtype", "float32"),
-            )
+        # resolved per call, NOT lazily cached on self: do_ba depends on
+        # mesh-ness, and a step built for one mode must not serve the other
+        # (_build_lowmem_step is lru_cached, so this is free after the first
+        # call per mode)
+        self._lowmem_step = _build_lowmem_step(
+            self.video.config.stereo,
+            upsample=self.upsample,
+            do_ba=(mesh is None),
+            dtype=getattr(self.video.config, "compute_dtype", "float32"),
+        )
         t = self.video.counter
         if t1 is None:
             t1 = t
@@ -784,13 +787,20 @@ class FactorGraph:
             self.ii, self.jj, self.valid, t0, t1, window,
             pad_floor=self.schur_pair_floor,
         )
-        plan = None
+        plan = plan_consts = None
         if mesh is not None:
-            from ..parallel.sharded_ba import ShardedBAPlan, sharded_ba_solve
+            from ..parallel.sharded_ba import (
+                ShardedBAPlan,
+                place_plan_constants,
+                sharded_ba_solve,
+            )
 
             plan = ShardedBAPlan.build(
                 self.ii, self.jj, self.valid, mesh.shape["ba"], t, t0, t1
             )
+            # the plan's index arrays are per-topology constants: place them
+            # on the mesh once, not once per GN step
+            plan_consts = place_plan_constants(mesh, plan)
         for _ in range(steps):
             (
                 self.video.poses,
@@ -830,6 +840,7 @@ class FactorGraph:
                     t1,
                     window,
                     iterations=itrs,
+                    constants=plan_consts,
                 )
             self.video.dirty[:t] = True
 

@@ -67,14 +67,34 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             pct_start=pct,
         )
     return optax.chain(
-        # a single bad batch (degenerate scene -> NaN grads through the BA)
-        # must not poison the parameters forever; the reference gets partial
-        # protection from GradClip's NaN-zeroing (modules/clipping.py:13-16),
-        # this guards every leaf (observed: a 500-step run NaN'd without it)
-        optax.zero_nans(),
+        # a single bad batch (degenerate scene -> non-finite grads through the
+        # BA) must not poison the parameters forever; the reference gets
+        # partial protection from GradClip's NaN-zeroing
+        # (modules/clipping.py:13-16), this guards every leaf (observed: a
+        # 500-step run NaN'd without it). Must zero inf too, not just NaN —
+        # an inf leaf makes clip_by_global_norm scale by clip/inf = 0 and the
+        # leaf itself becomes inf*0 = NaN downstream of a NaN-only guard.
+        _zero_nonfinite(),
         optax.clip_by_global_norm(cfg.clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
+
+
+def _zero_nonfinite() -> optax.GradientTransformation:
+    """Zero every non-finite (NaN or ±inf) gradient element."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_state(params, cfg: TrainConfig):
@@ -123,20 +143,35 @@ def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
         return total, (metrics, out)
 
     @jax.jit
-    def train_step(state, batch):
+    def grad_step(params, batch):
+        """Forward + backward only (no optimizer update): the restart loop
+        accumulates gradients across passes like the reference's repeated
+        loss.backward() (train.py:102-118) and applies ONE optimizer step
+        per batch."""
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, out)), grads = grad_fn(state["params"], batch)
+        (_, (metrics, out)), grads = grad_fn(params, batch)
+        return grads, metrics, out
+
+    @jax.jit
+    def apply_step(state, grads):
+        """One optimizer update from (possibly accumulated) gradients;
+        `step` counts batches, exactly like the reference's total_steps."""
         updates, opt_state = tx.update(
             grads["params"], state["opt_state"], state["params"]["params"]
         )
         params = {"params": optax.apply_updates(state["params"]["params"], updates)}
-        new_state = {
+        return {
             "params": params,
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
-        return new_state, metrics, out
 
+    def train_step(state, batch):
+        grads, metrics, out = grad_step(state["params"], batch)
+        return apply_step(state, grads), metrics, out
+
+    train_step.grad = grad_step
+    train_step.apply = apply_step
     return train_step
 
 

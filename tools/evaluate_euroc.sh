@@ -1,6 +1,7 @@
 #!/bin/bash
 # Batch EuRoC MAV evaluation (reference tools/evaluate_euroc.sh counterpart).
 # Ground truth: pass --gt <file> per sequence or rely on in-repo defaults.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 EUROC_PATH=${EUROC_PATH:-datasets/EuRoC}
 
 evalset=(

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Batch TUM-RGBD fr1 evaluation (reference tools/evaluate_tum.sh counterpart).
 # Usage: tools/evaluate_tum.sh [--weights droid.pth] [extra evaluate args]
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 TUM_PATH=${TUM_PATH:-datasets/TUM-RGBD}
 
 evalset=(
