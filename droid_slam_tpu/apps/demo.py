@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--weights", default=None)
     parser.add_argument("--buffer", type=int, default=512)
     parser.add_argument("--image_size", default=[240, 320], nargs=2, type=int)
+    parser.add_argument("--t0", default=0, type=int, help="starting frame")
+    parser.add_argument("--t1", default=None, type=int, help="ending frame")
     parser.add_argument("--stride", default=3, type=int)
     parser.add_argument("--filter_thresh", type=float, default=2.4)
     parser.add_argument("--warmup", type=int, default=8)
@@ -86,6 +88,8 @@ def main():
         )
     else:
         stream = list(image_stream(args.imagedir, args.calib, args.stride))
+        # frame-range selection, t1 inclusive (reference demo.py:87-88,124-126)
+        stream = stream[args.t0 : None if args.t1 is None else args.t1 + 1]
         h, w = stream[0][1].shape[:2]
         config = DroidConfig(
             image_size=(h, w),
