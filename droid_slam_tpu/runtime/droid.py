@@ -168,6 +168,11 @@ class Droid:
         self.backend(7)
         self.backend(12)
 
+        # one synchronous refresh so visualizer consumers (sink / .latest)
+        # see the backend-OPTIMIZED map, not the last tracking-time poll
+        if self.visualizer is not None:
+            self.visualizer.final_update()
+
         if stream is not None:
             return self.traj_filler(stream)
 

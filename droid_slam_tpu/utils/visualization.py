@@ -186,6 +186,21 @@ class VisualizerThread:
         self._stop.set()
         self._thread.join(timeout=timeout)
 
+    def final_update(self):
+        """One synchronous refresh from the CURRENT video state — called by
+        Droid.terminate after global BA, when the polling thread is already
+        closed. Unlike _poll_once this must NOT sync the fused state: the
+        video holds the backend-optimized poses/disps, and re-syncing would
+        overwrite them with the stale pre-terminate tracking state."""
+        video = self.droid.video
+        if video.counter == 0:
+            return
+        video.dirty[: video.counter] = False
+        self.latest = filtered_point_cloud(video, self.filter_thresh)
+        self.updates += 1
+        if self.sink is not None:
+            self.sink(*self.latest)
+
 
 def droid_visualization(video, refresh_hz: float = 10.0):
     """Live Open3D viewer loop polling the video's dirty flags

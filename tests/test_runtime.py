@@ -120,6 +120,16 @@ def test_live_visualizer_runs_during_tracking():
     assert colors.shape == points.shape
     assert len(clouds) == vis.updates
 
+    # terminate must stop the poller BEFORE global BA (a poll's fused-state
+    # sync would overwrite the backend-optimized poses) and then push one
+    # final refresh of the optimized map to the sink
+    d.visualizer = vis
+    n_before = vis.updates
+    d.terminate()
+    assert not vis._thread.is_alive()
+    assert vis.updates == n_before + 1
+    assert len(clouds) == vis.updates
+
 
 def test_rgbd_depth_prior_seeds_disparity():
     """RGB-D: the sensor depth prior must seed keyframe disparities
