@@ -85,24 +85,6 @@ def _cholesky_solve_bwd(res, g):
 cholesky_solve.defvjp(_cholesky_solve_fwd, _cholesky_solve_bwd)
 
 
-def damped_solve(
-    H: Array, b: Array, ep: float = 0.1, lm: float = 1e-4, refine: bool = True
-) -> Array:
-    """Solve the damped system ((1+lm)·diag + ep on the diagonal).
-
-    `refine` adds one iterative-refinement pass to recover the accuracy the
-    reference gets from solving in float64 (droid.cpp:559-579).
-    """
-    n = H.shape[-1]
-    eye = jnp.eye(n, dtype=H.dtype)
-    Hd = H + (ep + lm * H) * eye
-    x = cholesky_solve(Hd, b)
-    if refine:
-        r = b - jnp.matmul(Hd, x)
-        x = x + cholesky_solve(Hd, r)
-    return x
-
-
 # -----------------------------------------------------------------------------
 # per-edge linearisation (replaces projective_transform_kernel)
 # -----------------------------------------------------------------------------

@@ -93,8 +93,11 @@ def _bilinear_window_sample(vol: Array, coords: Array, radius: int) -> Array:
 
     x0 = coords[..., 0] - radius
     y0 = coords[..., 1] - radius
-    x0f = jnp.floor(x0)
-    y0f = jnp.floor(y0)
+    # clip before floor (as in _alt_corr_level_T): float->int32 conversion of
+    # huge/inf coords is undefined in XLA and would turn the oracle's
+    # zero-padding for far-out-of-bounds taps into NaNs
+    x0f = jnp.floor(jnp.clip(x0, -1e4, 1e4))
+    y0f = jnp.floor(jnp.clip(y0, -1e4, 1e4))
     dx = (x0 - x0f)[..., None, None]  # [..., 1, 1]
     dy = (y0 - y0f)[..., None, None]
     x0i = x0f.astype(jnp.int32)

@@ -137,6 +137,15 @@ class Droid:
         st = self._fused_state
         v = self.video
         v.counter = int(st.counter)
+        if v.counter >= st.poses.shape[0]:
+            import warnings
+
+            warnings.warn(
+                f"keyframe buffer saturated ({v.counter}/{st.poses.shape[0]}): "
+                "later keyframes were dropped; rerun with a larger "
+                "DroidConfig.buffer (reference demo.py:93 uses 512-1024)",
+                RuntimeWarning,
+            )
         v.tstamp = jnp.copy(st.tstamp)
         v.images = jnp.copy(st.images)
         v.poses = jnp.copy(st.poses)

@@ -139,34 +139,11 @@ def init_state(config) -> SLAMState:
 # -----------------------------------------------------------------------------
 
 
-def _frame_distance(poses, disps, intrinsics0, ii, jj, beta):
-    """Masked flow-magnitude distance (src/droid_kernels_cpu.cc:389-472)."""
-    ht, wd = disps.shape[-2:]
-    grid = pops.coords_grid(ht, wd)
-    Gij = pops.relative_poses(poses, ii, jj)
-    X0 = pops.iproj(
-        jnp.take(disps, ii, axis=0),
-        jnp.broadcast_to(intrinsics0, ii.shape + (4,)),
-    )
-    fx, fy, cx, cy = intrinsics0
-
-    def flow_mag(X1):
-        Z = X1[..., 2]
-        u = fx * X1[..., 0] / Z + cx
-        v = fy * X1[..., 1] / Z + cy
-        d = jnp.sqrt((u - grid[..., 0]) ** 2 + (v - grid[..., 1]) ** 2)
-        ok = (Z > pops.MIN_DEPTH_NATIVE).astype(d.dtype)
-        return d, ok
-
-    X1 = lie.act(Gij[:, None, None, :], X0)
-    d1, ok1 = flow_mag(X1)
-    X1t = X0.at[..., :3].add(X0[..., 3:4] * lie.translation(Gij)[:, None, None, :])
-    d2, ok2 = flow_mag(X1t)
-
-    accum = beta * jnp.sum(d1 * ok1, (1, 2)) + (1 - beta) * jnp.sum(d2 * ok2, (1, 2))
-    valid = beta * jnp.sum(ok1, (1, 2)) + (1 - beta) * jnp.sum(ok2, (1, 2))
-    frac = valid / (disps.shape[-1] * disps.shape[-2] + 1e-8)
-    return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
+# the masked flow-magnitude distance kernel is SHARED with the host-loop
+# engine (runtime/video.py) — single source of truth for the numeric
+# semantics the two engines are cross-validated on
+# (src/droid_kernels_cpu.cc:389-472)
+from .video import _frame_distance  # noqa: E402
 
 
 def _bidir_distance(st: SLAMState, ii, jj, beta):
@@ -350,11 +327,15 @@ def _proximity_candidates(
     ex_j = jnp.concatenate([st.jj, st.inac_jj])
     ex_ok = jnp.concatenate([st.valid, st.inac_valid])
 
-    def sup_body(k, d):
-        r = _suppression_radius(ex_i[k], ex_j[k], nms)
-        return jnp.where(ex_ok[k], suppress(d, ex_i[k], ex_j[k], r), d)
-
-    d = jax.lax.fori_loop(0, ex_i.shape[0], sup_body, d)
+    # one broadcast compare-reduce over all existing edges, NOT a fori_loop:
+    # a serial chain of ~150 tiny elementwise kernels per track step
+    # serializes on the VPU (the scalar-chain pattern CLAUDE.md flags)
+    ex_r = _suppression_radius(ex_i, ex_j, nms)  # [E]
+    ex_ball = (
+        jnp.abs(ii_g[None] - ex_i[:, None, None])
+        + jnp.abs(jj_g[None] - ex_j[:, None, None])
+    ) <= ex_r[:, None, None]
+    d = jnp.where(jnp.any(ex_ball & ex_ok[:, None, None], axis=0), inf, d)
 
     # base edges: temporal neighbors (i, j) for j ∈ [i−rad−1, i), both
     # directions (+ stereo self edges), with their cells suppressed.
@@ -377,14 +358,12 @@ def _proximity_candidates(
     base_jj = jnp.stack(base_jj)
     base_ok = jnp.stack(base_ok)
 
-    def sup_cell(d, si, sj):
-        cell = (ii_g == si) & (jj_g == sj)
-        return jnp.where(cell, inf, d)
-
-    def base_sup(k, d):
-        return jnp.where(base_ok[k], sup_cell(d, base_ii[k], base_jj[k]), d)
-
-    d = jax.lax.fori_loop(0, base_ii.shape[0], base_sup, d)
+    base_cell = (
+        (ii_g[None] == base_ii[:, None, None])
+        & (jj_g[None] == base_jj[:, None, None])
+        & base_ok[:, None, None]
+    )
+    d = jnp.where(jnp.any(base_cell, axis=0), inf, d)
     if stereo:
         # also suppress all self cells
         d = jnp.where(ii_g == jj_g, inf, d)
@@ -463,6 +442,11 @@ def build_track_step(params, config):
         max_any = jnp.max(jnp.where(valid, jnp.maximum(ii, jj), -1))
         t0 = jnp.where(fixed_t0 > 0, fixed_t0, jnp.maximum(1, min_ii + 1))
         t1 = max_any + 1
+        # never let the BA window outgrow the static window_pad: raise t0 so
+        # poses older than t1 - Pw FREEZE (sliding-window semantics, the
+        # fixedp treatment) instead of silently losing their Hessian blocks
+        # to the dense-window scatter's range masks (ops/ba.py _scatter_mat)
+        t0 = jnp.maximum(t0, t1 - Pw)
         kf0 = jnp.clip(jnp.minimum(min_ii, t0) - 1, 0, st.poses.shape[0] - 1)
 
         coords0 = pops.coords_grid(h, w)
@@ -587,7 +571,13 @@ def build_track_step(params, config):
         delta = jax.lax.cond(
             st.counter > 0, probe, lambda _: jnp.float32(1e9), None
         )
-        is_kf = (st.counter == 0) | (delta > config.filter_thresh)
+        # capacity gate: at counter == buffer an OOB .at[ix].set would be
+        # silently dropped under jit while counter kept advancing — tracking
+        # would continue against clamped stale buffers. Stop keyframing
+        # instead (graceful saturation; the host reference raises here —
+        # Droid.sync()/terminate warn when the buffer saturated).
+        has_room = st.counter < st.poses.shape[0]
+        is_kf = ((st.counter == 0) | (delta > config.filter_thresh)) & has_room
 
         def do_append(st):
             net, inp = cnet(image[0].astype(jnp.float32))

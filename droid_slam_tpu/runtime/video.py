@@ -74,8 +74,15 @@ def _frame_distance(
 
     def flow_mag(X1):
         Z = X1[..., 2]
-        u = fx * X1[..., 0] / Z + cx
-        v = fy * X1[..., 1] / Z + cy
+        # guard the division like the reference kernel, which only
+        # accumulates d inside its Z > MIN_DEPTH branch
+        # (src/droid_kernels_cpu.cc:440-465): an unguarded Z == 0 gives
+        # u = inf, d = inf, and d * ok = inf * 0 = NaN — one such pixel
+        # NaNs the whole pair distance and then defeats every jnp.where /
+        # argmin in the proximity scan (NaN comparisons are False)
+        Zs = jnp.where(Z < 0.5 * pops.MIN_DEPTH_NATIVE, 1.0, Z)
+        u = fx * X1[..., 0] / Zs + cx
+        v = fy * X1[..., 1] / Zs + cy
         d = jnp.sqrt((u - grid[..., 0]) ** 2 + (v - grid[..., 1]) ** 2)
         ok = (Z > pops.MIN_DEPTH_NATIVE).astype(d.dtype)
         return d, ok
