@@ -37,6 +37,7 @@ from ..models.update import GraphAgg, UpdateModule, upsample_disp
 from ..ops import ba as ba_ops
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
+from .video import persist_window, read_window
 
 Array = jax.Array
 
@@ -243,13 +244,7 @@ def _build_update_step(stereo: bool, upsample: bool = False, dtype: str = "float
             )
             > 0
         )
-        pad_f = damping.shape[0] + agg_frames
-        damping_pad = jnp.pad(damping, ((0, agg_frames), (0, 0), (0, 0)))
-        cur = jax.lax.dynamic_slice(damping_pad, (kf0, 0, 0), (agg_frames, h, w))
-        newd = jnp.where(touched_rel[:, None, None], eta_win, cur)
-        damping = jax.lax.dynamic_update_slice(damping_pad, newd, (kf0, 0, 0))[
-            : damping.shape[0]
-        ]
+        damping = persist_window(damping, eta_win, touched_rel, kf0)
 
         # ---- dense bundle adjustment -------------------------------------
         if use_inactive:
@@ -287,17 +282,9 @@ def _build_update_step(stereo: bool, upsample: bool = False, dtype: str = "float
         if upsample:
             # maintain full-res disparities for the window frames touched by
             # active edges (post-BA disps, matching video.upsample intent)
-            disps_pad = jnp.pad(disps, ((0, agg_frames), (0, 0), (0, 0)))
-            win = jax.lax.dynamic_slice(disps_pad, (kf0, 0, 0), (agg_frames, h, w))
+            win = read_window(disps, kf0, agg_frames)
             up_win = upsample_disp(win, upmask.astype(jnp.float32))
-            dup_pad = jnp.pad(disps_up, ((0, agg_frames), (0, 0), (0, 0)))
-            cur_up = jax.lax.dynamic_slice(
-                dup_pad, (kf0, 0, 0), (agg_frames, 8 * h, 8 * w)
-            )
-            new_up = jnp.where(touched_rel[:, None, None], up_win, cur_up)
-            disps_up = jax.lax.dynamic_update_slice(dup_pad, new_up, (kf0, 0, 0))[
-                : disps_up.shape[0]
-            ]
+            disps_up = persist_window(disps_up, up_win, touched_rel, kf0)
 
         return poses, disps, graph, damping, disps_up
 

@@ -139,11 +139,11 @@ def init_state(config) -> SLAMState:
 # -----------------------------------------------------------------------------
 
 
-# the masked flow-magnitude distance kernel is SHARED with the host-loop
-# engine (runtime/video.py) — single source of truth for the numeric
-# semantics the two engines are cross-validated on
-# (src/droid_kernels_cpu.cc:389-472)
-from .video import _frame_distance  # noqa: E402
+# the masked flow-magnitude distance kernel and the window persist/read
+# helpers are SHARED with the host-loop engine (runtime/video.py) — single
+# source of truth for the numeric semantics the two engines are
+# cross-validated on (src/droid_kernels_cpu.cc:389-472)
+from .video import _frame_distance, persist_window, read_window  # noqa: E402
 
 
 def _bidir_distance(st: SLAMState, ii, jj, beta):
@@ -486,12 +486,7 @@ def build_track_step(params, config):
             )
             > 0
         )
-        B = st.damping.shape[0]
-        damping_pad = jnp.pad(st.damping, ((0, Ka), (0, 0), (0, 0)))
-        cur = jax.lax.dynamic_slice(damping_pad, (kf0, 0, 0), (Ka, h, w))
-        newd = jnp.where(touched[:, None, None], eta_win, cur)
-        damping = jax.lax.dynamic_update_slice(damping_pad, newd, (kf0, 0, 0))[:B]
-        st = st._replace(damping=damping)
+        st = st._replace(damping=persist_window(st.damping, eta_win, touched, kf0))
 
         # BA over active + inactive edges (use_inactive=True)
         inac_ok = st.inac_valid & (st.inac_ii >= t0 - 3) & (st.inac_jj >= t0 - 3)
@@ -524,18 +519,10 @@ def build_track_step(params, config):
         if config.upsample:
             # full-res disparity maintenance (depth_video.py:126-130) over the
             # aggregation window, masked to frames touched by active edges
-            disps_pad = jnp.pad(disps, ((0, Ka), (0, 0), (0, 0)))
-            win = jax.lax.dynamic_slice(disps_pad, (kf0, 0, 0), (Ka, h, w))
+            win = read_window(disps, kf0, Ka)
             up_win = upsample_disp(win, upmask.astype(jnp.float32))
-            dup_pad = jnp.pad(st.disps_up, ((0, Ka), (0, 0), (0, 0)))
-            cur_up = jax.lax.dynamic_slice(
-                dup_pad, (kf0, 0, 0), (Ka, 8 * h, 8 * w)
-            )
-            new_up = jnp.where(touched[:, None, None], up_win, cur_up)
             st = st._replace(
-                disps_up=jax.lax.dynamic_update_slice(
-                    dup_pad, new_up, (kf0, 0, 0)
-                )[: st.disps_up.shape[0]]
+                disps_up=persist_window(st.disps_up, up_win, touched, kf0)
             )
 
         return st

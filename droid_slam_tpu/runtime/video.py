@@ -101,6 +101,28 @@ def _frame_distance(
     return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
 
 
+def read_window(buf: Array, kf0: Array, K: int) -> Array:
+    """Dynamic-slice buf[kf0 : kf0+K] with zero padding past the end
+    (K is static; kf0 is traced). Shared by both tracking engines."""
+    zeros = ((0, 0),) * (buf.ndim - 1)
+    pad = jnp.pad(buf, ((0, K),) + zeros)
+    start = (kf0,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_slice(pad, start, (K,) + buf.shape[1:])
+
+
+def persist_window(buf: Array, new_win: Array, touched: Array, kf0: Array) -> Array:
+    """Write new_win into buf[kf0 : kf0+K] at frames where `touched`, keeping
+    untouched frames — the padded dynamic-slice/update dance both engines use
+    to maintain per-keyframe damping and upsampled disparities."""
+    K = new_win.shape[0]
+    zeros = ((0, 0),) * (buf.ndim - 1)
+    start = (kf0,) + (0,) * (buf.ndim - 1)
+    pad = jnp.pad(buf, ((0, K),) + zeros)
+    cur = jax.lax.dynamic_slice(pad, start, new_win.shape)
+    new = jnp.where(touched.reshape((K,) + (1,) * (buf.ndim - 1)), new_win, cur)
+    return jax.lax.dynamic_update_slice(pad, new, start)[: buf.shape[0]]
+
+
 @jax.jit
 def _reproject(poses, disps, intrinsics, ii, jj):
     return pops.projective_transform(poses, disps, intrinsics, ii, jj)
