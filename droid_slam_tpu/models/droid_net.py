@@ -14,6 +14,7 @@ from typing import Any, NamedTuple, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import ba as ba_ops
 from ..ops import corr as corr_ops
@@ -24,14 +25,16 @@ from .update import UpdateModule, upsample_disp
 Array = jax.Array
 
 # ImageNet statistics (droid_net.py:160-162)
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], dtype=jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], dtype=jnp.float32)
+# numpy, NOT jnp: device constants at module level force JAX backend init
+# on import (see ops/projective.py STEREO_BASELINE note)
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def normalize_images(images: Array) -> Array:
     """RGB [..., H, W, 3] in [0, 255] → ImageNet-normalised float32."""
     x = images.astype(jnp.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
 class TrainingOutputs(NamedTuple):

@@ -179,13 +179,22 @@ def exp(xi: Array) -> Array:
 
 
 def log_so3(q: Array) -> Array:
-    """SO(3) logarithm: xyzw quaternion → axis-angle vector."""
+    """SO(3) logarithm: xyzw quaternion → axis-angle vector (principal)."""
     qv = q[..., :3]
     qw = q[..., 3:4]
+    # canonicalize the double cover FIRST: q and -q are the same rotation,
+    # but 2*atan2(nv, qw) with qw < 0 lands in (pi, 2*pi] — the NON-principal
+    # branch — inflating the angle to 2*pi - theta (and blowing up V^-1 in
+    # the SE(3) log as theta -> 2*pi). lietorch/Sophus always reduce to the
+    # qw >= 0 representative; datasets routinely store sign-inconsistent
+    # quaternions, so this is reachable from any geodesic-loss edge.
+    flip = jnp.where(qw < 0.0, -1.0, 1.0)
+    qv = qv * flip
+    qw = qw * flip
     nv_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
     small = nv_sq < 1e-14
     nv = jnp.sqrt(jnp.where(small, 1.0, nv_sq))
-    # angle in (-pi, pi]; sign of qw folded into atan2
+    # angle in [0, pi]
     theta = 2.0 * jnp.arctan2(nv, qw)
     scale_big = theta / nv
     # series of 2/qw * (1 - nv²/(3 qw²)) around nv → 0

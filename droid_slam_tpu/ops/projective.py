@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
 
@@ -34,7 +35,10 @@ Array = jax.Array
 MIN_DEPTH = 0.2  # training-path threshold (geom/projective_ops.py:6)
 MIN_DEPTH_NATIVE = 0.25  # SLAM-runtime threshold (src/droid_kernels.h:13)
 
-STEREO_BASELINE = jnp.asarray([-0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# numpy, NOT jnp: a module-level device constant would initialise the JAX
+# backend at import time (over the axon tunnel that dials the relay before
+# any liveness probe can run)
+STEREO_BASELINE = np.asarray([-0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def coords_grid(ht: int, wd: int, dtype=jnp.float32) -> Array:
@@ -134,7 +138,7 @@ def relative_poses(poses: Array, ii: Array, jj: Array) -> Array:
     Gj = jnp.take(poses, jj, axis=-2)
     Gij = lie.rel(Gi, Gj)
     self_edge = (ii == jj)[..., None]
-    return jnp.where(self_edge, STEREO_BASELINE.astype(Gij.dtype), Gij)
+    return jnp.where(self_edge, jnp.asarray(STEREO_BASELINE, Gij.dtype), Gij)
 
 
 def projective_transform(

@@ -39,7 +39,7 @@ def _relative(poses: Array, ii: Array, jj: Array) -> Array:
     """dP = P[jj] ∘ P[ii]⁻¹ along the frame axis (axis -2)."""
     Pi = jnp.take(poses, ii, axis=-2)
     Pj = jnp.take(poses, jj, axis=-2)
-    return lie.mul(Pj, lie.inv(Pi))
+    return lie.rel(Pi, Pj)
 
 
 def fit_scale(dP: Array, dG: Array) -> Array:
@@ -79,16 +79,20 @@ def geodesic_loss(
             dG = jnp.concatenate(
                 [dG[..., :3] * s[:, None, None], dG[..., 3:]], axis=-1
             )
-        d = lie.log(lie.mul(dG, lie.inv(dP)))  # [B, N, 6]
+        dE = lie.mul(dG, lie.inv(dP))  # [B, N, 7] error transform
+        d = lie.log(dE)  # [B, N, 6]
         tau = _safe_norm(d[..., :3])
         phi = _safe_norm(d[..., 3:])
-        return masked_mean(tau) + masked_mean(phi), (tau, phi)
+        # metric translation error is the GROUP-element translation norm
+        # (reference pose_metrics, geom/losses.py:9-18), not the log tangent
+        t_grp = _safe_norm(dE[..., :3])
+        return masked_mean(tau) + masked_mean(phi), (t_grp, phi)
 
-    losses, (taus, phis) = jax.vmap(one_step)(Gs_steps)
+    losses, (tgrps, phis) = jax.vmap(one_step)(Gs_steps)
     total = jnp.sum(w * losses)
 
     r_err = (180.0 / np.pi) * phis[-1]
-    t_err = taus[-1]
+    t_err = tgrps[-1]
     metrics = {
         "rot_error": masked_mean(r_err),
         "tr_error": masked_mean(t_err),
@@ -98,26 +102,40 @@ def geodesic_loss(
     return total, metrics
 
 
-def residual_loss(residuals: Array, gamma: float = 0.9) -> Tuple[Array, Dict]:
+def residual_loss(
+    residuals: Array, gamma: float = 0.9, edge_valid: Array = None
+) -> Tuple[Array, Dict]:
     """γ-weighted mean |BA flow residual| (losses.py:77-86).
-    residuals: [S, ...]."""
+    residuals: [S, E, h, w, 2] with E = B·N edge slots. `edge_valid` [E]
+    masks padded edges of randomized graphs: their residuals are already
+    zeroed upstream, but averaging over the padded slots would scale the
+    loss by n_valid/n_pad — a weight that varies batch-to-batch."""
     S = residuals.shape[0]
     w = _step_weights(S, gamma)
-    per_step = jnp.mean(jnp.abs(residuals.reshape(S, -1)), axis=-1)
+    flat = jnp.abs(residuals.reshape(S, residuals.shape[1], -1))
+    if edge_valid is None:
+        per_step = jnp.mean(flat, axis=(1, 2))
+    else:
+        ev = edge_valid.astype(flat.dtype)
+        denom = jnp.maximum(jnp.sum(ev), 1.0) * flat.shape[-1]
+        per_step = jnp.sum(flat * ev[None, :, None], axis=(1, 2)) / denom
     total = jnp.sum(w * per_step)
     return total, {"residual": total}
 
 
 def flow_loss(
     Ps: Array,  # [B, F, 7] GT poses
-    disps: Array,  # [B, F, h, w] GT inverse depth (1/8 res)
+    disps: Array,  # [B, F, H, W] GT inverse depth (FULL resolution)
     poses_steps: Array,  # [S, B, F, 7]
-    disps_steps: Array,  # [S, B, F, h, w] estimated (1/8 res)
-    intrinsics: Array,  # [B, F, 4] (1/8 res)
+    disps_steps: Array,  # [S, B, F, H, W] estimated, upsampled (FULL res)
+    intrinsics: Array,  # [B, F, 4] FULL-resolution
     gamma: float = 0.9,
 ) -> Tuple[Array, Dict]:
-    """End-point-error of induced flow vs GT on the adjacent-frame graph
-    (losses.py:89-118)."""
+    """End-point-error of induced flow vs GT on the adjacent-frame graph,
+    at FULL image resolution like the reference (losses.py:89-118 is called
+    with full-res disps/upsampled estimates/undivided intrinsics,
+    train.py:112) — at 1/8 res the term would be 8x under-weighted and the
+    '1px' metric would mean 8 full-res pixels."""
     S = poses_steps.shape[0]
     F = Ps.shape[1]
     ii, jj = [], []
@@ -135,17 +153,27 @@ def flow_loss(
 
     w = _step_weights(S, gamma)
 
+    # remat + scalar-only outputs: the full-res induced-flow coords per
+    # unroll step are large ([S, B, N, H, W, 2]); recompute them in backward
+    # instead of storing, and keep no per-pixel arrays across steps
+    @jax.checkpoint
     def one_step(Gs, ds):
         coords1, val1 = transform(Gs, ds, intrinsics)
         v = (val0 * val1)[..., 0]
         epe = v * _safe_norm(coords1 - coords0)
-        return jnp.mean(epe), (epe, v)
+        return jnp.mean(epe)
 
-    losses, (epes, vs) = jax.vmap(one_step)(poses_steps, disps_steps)
+    losses = jax.vmap(one_step)(poses_steps, disps_steps)
     total = jnp.sum(w * losses)
 
-    last_epe = epes[-1].reshape(-1)
-    last_v = vs[-1].reshape(-1) > 0.5
+    # metrics from the last step only (one extra forward transform, no grad)
+    coords1, val1 = transform(
+        jax.lax.stop_gradient(poses_steps[-1]),
+        jax.lax.stop_gradient(disps_steps[-1]),
+        intrinsics,
+    )
+    last_v = ((val0 * val1)[..., 0] > 0.5).reshape(-1)
+    last_epe = _safe_norm(coords1 - coords0).reshape(-1)
     denom = jnp.maximum(jnp.sum(last_v), 1.0)
     metrics = {
         "f_error": jnp.sum(jnp.where(last_v, last_epe, 0.0)) / denom,

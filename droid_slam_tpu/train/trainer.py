@@ -131,12 +131,14 @@ def make_train_step(cfg: TrainConfig, ii: np.ndarray, jj: np.ndarray):
         geo, geo_m = L.geodesic_loss(
             Ps, out.poses, g_ii, g_jj, do_scale=False, edge_valid=g_valid
         )
-        res, res_m = L.residual_loss(out.residuals)
-        disps_gt8 = disps_gt[:, :, 3::8, 3::8]
+        B = images.shape[0]
+        res, res_m = L.residual_loss(
+            out.residuals, edge_valid=jnp.tile(g_valid, B)
+        )
+        # flow loss at FULL resolution with full-res intrinsics, like the
+        # reference (train.py:112) — at 1/8 res it is 8x under-weighted
         flo, flo_m = L.flow_loss(
-            Ps, disps_gt8, out.poses,
-            out.disps_up[:, :, :, 3::8, 3::8],
-            intrinsics / 8.0,
+            Ps, disps_gt, out.poses, out.disps_up, intrinsics,
         )
         total = cfg.w1 * geo + cfg.w2 * res + cfg.w3 * flo
         metrics = {"loss": total, **geo_m, **res_m, **flo_m}

@@ -76,6 +76,21 @@ def test_exp_log_roundtrip():
     g = lie.exp(jnp.asarray(xi))
     xi_back = np.asarray(lie.log(g))
     assert np.abs(xi_back - xi).max() < TOL
+
+
+def test_log_double_cover_invariance():
+    """q and -q are the same rotation; log must reduce to the principal
+    branch for both (lietorch/Sophus semantics). The qw<0 representative
+    once returned 2*pi - theta, inflating a 0.1 rad geodesic error ~60x."""
+    xi = 1.5 * rng.standard_normal((16, 6)).astype(np.float32)
+    g = np.asarray(lie.exp(jnp.asarray(xi)))
+    g_neg = g.copy()
+    g_neg[:, 3:7] *= -1.0
+    l1 = np.asarray(lie.log(jnp.asarray(g)))
+    l2 = np.asarray(lie.log(jnp.asarray(g_neg)))
+    assert np.abs(l1 - l2).max() < 1e-5
+    # the returned angle is principal
+    assert np.linalg.norm(l1[:, 3:6], axis=-1).max() <= np.pi + 1e-6
     # exp matches the matrix exponential
     from scipy.linalg import expm
 
