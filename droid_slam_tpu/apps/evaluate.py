@@ -146,12 +146,18 @@ def main():
 
     traj_est, droid = run_slam(config, args.weights, track, fill)
     print(f"keyframes: {droid.video.counter} / {len(track)} tracked frames")
-    tstamps = np.asarray([item[0] for item in fill], np.float64)
-    if args.dataset == "euroc":
-        # euroc_stream stamps frames with the raw filename time in
-        # NANOseconds (streams.py); the GT loader and the association
-        # tolerance below work in seconds.
-        tstamps = tstamps / 1e9
+    # streams yield integer frame indices as t (reference parity; the SLAM
+    # float32 tstamp buffer and SE3 interpolation need small consistent
+    # values); the epoch timestamps for GT association come from the
+    # host-side *_times helpers (float64)
+    if args.dataset == "tum":
+        tstamps = streams.tum_times(args.datapath, stride=2)[: len(fill)]
+    elif args.dataset == "euroc":
+        tstamps = streams.euroc_times(args.datapath, stride=1)[: len(fill)]
+    elif args.dataset == "eth3d":
+        tstamps = streams.eth3d_times(args.datapath, stride=1)[: len(fill)]
+    else:  # synthetic / tartanair already stamp with indices
+        tstamps = np.asarray([item[0] for item in fill], np.float64)
 
     est = Trajectory(tstamps, pos_scale * traj_est[:, :3], traj_est[:, 3:])
     if args.save_traj:

@@ -158,6 +158,13 @@ class RGBDDataset:
     def clips(self, batch: int, shuffle: bool = True) -> Iterator[Dict]:
         """Yield batched training dicts compatible with train.trainer."""
         order = np.arange(len(self))
+        if len(order) < batch:
+            raise ValueError(
+                f"dataset has {len(order)} clips but batch={batch}: the "
+                "clip loop would spin forever yielding nothing (fewer "
+                "scenes than the batch size, or the covisibility graph "
+                "filtered almost everything)"
+            )
         while True:
             if shuffle:
                 self.rng.shuffle(order)

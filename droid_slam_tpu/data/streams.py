@@ -7,11 +7,19 @@ TPU-native equivalents of the reference stream generators:
   * ETH3D RGB-D (depth/5000) — test_eth3d.py:25-57
   * TartanAir mono/stereo — validate_tartanair.py:18-39
 
-All streams yield (tstamp, image, intrinsics) or
-(tstamp, image, depth, intrinsics) with images as **RGB** uint8 arrays of
-shape [H, W, 3] (mono) or [2, H, W, 3] (stereo) — the reference carries BGR
-and swaps channels inside the net (droid_net.py:158); here the data layer
-owns color order.
+All streams yield (t, image, intrinsics) or (t, image, depth, intrinsics)
+with images as **RGB** uint8 arrays of shape [H, W, 3] (mono) or
+[2, H, W, 3] (stereo) — the reference carries BGR and swaps channels inside
+the net (droid_net.py:158); here the data layer owns color order.
+
+`t` is the ORIGINAL integer frame index (stride·k), exactly like the
+reference streams (test_euroc.py:76 yields `stride*t`): the SLAM runtime
+stores t in a float32 buffer and the trajectory filler brackets/interpolates
+on it, so it must be small and consistent between a strided track stream and
+a stride-1 fill stream. Raw epoch timestamps (TUM seconds / EuRoC
+nanoseconds, needed only for ground-truth association) would collapse in
+float32 — ulp(1.3e9 s) is 128 s — and are exposed separately via the
+`*_times()` helpers.
 
 IO/geometry backends: the native C++ pipeline (native/droid_native.cc via
 data.native_loader — libjpeg/libpng decode, threaded prefetch, bilinear
@@ -130,8 +138,14 @@ def tum_stream(datapath: str, stride: int = 2) -> Iterator:
             np.float32,
         )
         image = image[8:-8, 16:-16]
-        tstamp = float(os.path.basename(imfile)[:-4])
-        yield tstamp, image, intr
+        yield stride * t, image, intr
+
+
+def tum_times(datapath: str, stride: int = 2) -> np.ndarray:
+    """Epoch timestamps (seconds, float64) of the strided TUM frames, for
+    ground-truth association only."""
+    files = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
+    return np.array([float(os.path.basename(f)[:-4]) for f in files], np.float64)
 
 
 # EuRoC factory rectification (test_euroc.py:28-51)
@@ -187,7 +201,6 @@ def euroc_stream(
     for t, (imgL, imgR) in enumerate(zip(images_left, images_right)):
         if stereo and not os.path.isfile(imgR):
             continue
-        tstamp = float(os.path.basename(imgL)[:-4])
         frames = [_remap(_imread_rgb(imgL), map_l)]
         if stereo:
             frames.append(_remap(_imread_rgb(imgR), map_r))
@@ -195,7 +208,16 @@ def euroc_stream(
         if not stereo:
             image = image[0]
         intr = intr_vec * np.array([W / wd0, H / ht0, W / wd0, H / ht0])
-        yield tstamp, image, intr.astype(np.float32)
+        yield stride * t, image, intr.astype(np.float32)
+
+
+def euroc_times(datapath: str, stride: int = 1) -> np.ndarray:
+    """Epoch timestamps (seconds, float64; filenames are nanoseconds) of the
+    strided EuRoC cam0 frames, for ground-truth association only."""
+    files = sorted(glob.glob(os.path.join(datapath, "mav0/cam0/data/*.png")))[::stride]
+    return np.array(
+        [float(os.path.basename(f)[:-4]) for f in files], np.float64
+    ) / 1e9
 
 
 def eth3d_stream(datapath: str, use_depth: bool = False, stride: int = 1) -> Iterator:
@@ -206,26 +228,31 @@ def eth3d_stream(datapath: str, use_depth: bool = False, stride: int = 1) -> Ite
 
     for t, (image_file, depth_file) in enumerate(zip(image_list, depth_list)):
         image = _imread_rgb(image_file)
-        depth = _imread_depth16(depth_file, 5000.0)
-
         h0, w0 = image.shape[:2]
         image, (sx, sy) = _resize_to_area(image)
-        h1, w1 = int(h0 * np.sqrt((384 * 512) / (h0 * w0))), int(
-            w0 * np.sqrt((384 * 512) / (h0 * w0))
-        )
+        intr = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
+        if not use_depth:
+            # don't decode the 16-bit depth PNG just to discard it
+            yield stride * t, image, intr
+            continue
+
+        depth = _imread_depth16(depth_file, 5000.0)
+        # the uncropped resize target of _resize_to_area (sx/sy carry it)
+        h1, w1 = int(round(h0 * sy)), int(round(w0 * sx))
         if _nl.available():
             depth = _nl.resize_nearest(depth, (h1, w1))
         else:
             cv2 = _cv2()
             depth = cv2.resize(depth, (w1, h1), interpolation=cv2.INTER_NEAREST)
         depth = depth[: h1 - h1 % 8, : w1 - w1 % 8]
+        yield stride * t, image, depth.astype(np.float32), intr
 
-        intr = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
-        tstamp = float(os.path.basename(image_file)[:-4])
-        if use_depth:
-            yield tstamp, image, depth.astype(np.float32), intr
-        else:
-            yield tstamp, image, intr
+
+def eth3d_times(datapath: str, stride: int = 1) -> np.ndarray:
+    """Epoch timestamps (seconds, float64) of the strided ETH3D frames, for
+    ground-truth association only."""
+    files = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
+    return np.array([float(os.path.basename(f)[:-4]) for f in files], np.float64)
 
 
 def tartanair_stream(

@@ -12,7 +12,6 @@ The probe (fnet + corr + one GRU step) is one jitted program; only a scalar
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -27,9 +26,9 @@ from ..ops import projective as pops
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("stereo",))
-def _encode_frame(params, image: Array, stereo: bool = False):
-    """fnet over the frame (both rig cameras when stereo). image: [rig, H, W, 3]."""
+@jax.jit
+def _encode_frame(params, image: Array):
+    """fnet over the frame (every rig camera). image: [rig, H, W, 3]."""
     model = DroidNet()
 
     def fnet(x):
@@ -94,7 +93,7 @@ class MotionFilter:
     ):
         if image.ndim == 3:
             image = image[None]
-        fmap = _encode_frame(self.params, image, stereo=self.video.config.stereo)
+        fmap = _encode_frame(self.params, image)
 
         if self.video.counter == 0:
             net, inp = _encode_context(self.params, image[0])

@@ -33,6 +33,10 @@ class PoseTrajectoryFiller:
         v = self.video
         N = v.counter
         M = len(tstamps)
+        # __call__ sizes batches to the buffer headroom; this guards direct
+        # callers (_set_range would silently truncate past capacity and the
+        # clamped slice below would return fewer than M poses)
+        assert N + M <= v.poses.shape[0], (N, M, v.poses.shape[0])
 
         tt = np.asarray(tstamps, np.float32)
 
@@ -54,7 +58,7 @@ class PoseTrajectoryFiller:
         imgs = jnp.stack(
             [img[0] if img.ndim == 4 else img for img in images]
         )  # [M, H, W, 3] (mono path of the filler, trajectory_filler.py:60-66)
-        fmaps = _encode_frame(self.params, imgs, stereo=False)[:, None]
+        fmaps = _encode_frame(self.params, imgs)[:, None]
         h, w = self.config.feat_size
         v.tstamp = _set_range(v.tstamp, N, jnp.asarray(tt))
         v.poses = _set_range(v.poses, N, Gs)
@@ -90,11 +94,21 @@ class PoseTrajectoryFiller:
         pose_list = []
         tstamps, images, intrinsics = [], [], []
         ts = np.asarray(self.video.tstamp[: self.video.counter])
+        # temporary frames append past the live keyframes; shrink the batch
+        # to the buffer headroom (a full buffer leaves nothing to borrow)
+        batch = min(16, self.video.poses.shape[0] - self.video.counter)
+        if batch < 1:
+            raise ValueError(
+                f"trajectory filler needs >=1 free keyframe slot but the "
+                f"buffer is full ({self.video.counter}); increase "
+                "DroidConfig.buffer (the reference keeps 512-1024 plus "
+                "headroom, demo.py:93)"
+            )
         for (tstamp, image, intrinsic) in image_stream:
             tstamps.append(tstamp)
             images.append(image)
             intrinsics.append(intrinsic)
-            if len(tstamps) == 16:
+            if len(tstamps) == batch:
                 pose_list.append(self._fill(tstamps, images, intrinsics, ts))
                 tstamps, images, intrinsics = [], [], []
         if tstamps:
