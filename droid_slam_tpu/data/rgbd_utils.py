@@ -115,23 +115,30 @@ def compute_distance_matrix_flow(
     """All-pairs covisibility (flow) distance matrix. poses_c2w: [N, 7]
     camera-to-world (the reference inverts on entry, rgbd_utils.py:108-110)."""
     N = len(poses_c2w)
-    poses_w2c = jnp.asarray(np.asarray(lie.inv(jnp.asarray(poses_c2w, jnp.float32))))
+    poses_w2c = lie.inv(jnp.asarray(poses_c2w, jnp.float32))
     disps_j = jnp.asarray(disps, jnp.float32)
     intr_j = jnp.asarray(intrinsics, jnp.float32)
+    return _all_pairs_chunked(
+        N, chunk, lambda a, b: _flow_chunk(poses_w2c, disps_j, intr_j, a, b)
+    )
 
+
+def _all_pairs_chunked(N: int, chunk: int, chunk_fn) -> np.ndarray:
+    """Run a jitted per-pair distance kernel over all N*N frame pairs in
+    fixed-size chunks (the last one padded so every call compiles to the
+    same shape); 1e9 sentinel -> inf."""
     ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
     ii = ii.reshape(-1)
     jj = jj.reshape(-1)
 
     matrix = np.zeros(N * N, np.float32)
-    # pad the last chunk so every call compiles to the same shape
     for s in range(0, N * N, chunk):
         a = ii[s : s + chunk]
         b = jj[s : s + chunk]
         pad = chunk - len(a)
         ap = np.pad(a, (0, pad)).astype(np.int32)
         bp = np.pad(b, (0, pad)).astype(np.int32)
-        d = np.asarray(_flow_chunk(poses_w2c, disps_j, intr_j, jnp.asarray(ap), jnp.asarray(bp)))
+        d = np.asarray(chunk_fn(jnp.asarray(ap), jnp.asarray(bp)))
         matrix[s : s + len(a)] = d[: len(a)]
 
     matrix = matrix.reshape(N, N)
@@ -201,26 +208,8 @@ def compute_distance_matrix_flow2(
     poses_w2c = lie.inv(jnp.asarray(poses_c2w, jnp.float32))
     disps_j = jnp.asarray(disps, jnp.float32)
     intr_j = jnp.asarray(np.broadcast_to(intrinsics, (N, 4)), jnp.float32)
-
-    ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
-    ii = ii.reshape(-1)
-    jj = jj.reshape(-1)
-
-    matrix = np.zeros(N * N, np.float32)
-    for s in range(0, N * N, chunk):
-        a = ii[s : s + chunk]
-        b = jj[s : s + chunk]
-        pad = chunk - len(a)
-        ap = np.pad(a, (0, pad)).astype(np.int32)
-        bp = np.pad(b, (0, pad)).astype(np.int32)
-        d = np.asarray(
-            _flow2_chunk(
-                poses_w2c, disps_j, intr_j, jnp.asarray(ap), jnp.asarray(bp),
-                jnp.float32(beta),
-            )
-        )
-        matrix[s : s + len(a)] = d[: len(a)]
-
-    matrix = matrix.reshape(N, N)
-    matrix[matrix >= 1e9] = np.inf
-    return matrix
+    return _all_pairs_chunked(
+        N, chunk,
+        lambda a, b: _flow2_chunk(poses_w2c, disps_j, intr_j, a, b,
+                                  jnp.float32(beta)),
+    )

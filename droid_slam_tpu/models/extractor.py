@@ -32,12 +32,17 @@ def _norm(norm_fn: str, channels: int, dtype: Dtype = None):
     statistics: the SLAM runtime always runs in eval mode and the published
     checkpoints use 'instance'/'none' (droid_net.py:150-151)."""
     if norm_fn == "group":
-        return nn.GroupNorm(num_groups=channels // 8, dtype=dtype)
+        return nn.GroupNorm(num_groups=channels // 8, epsilon=1e-5, dtype=dtype)
     if norm_fn == "instance":
         # per-sample, per-channel over H, W; no affine (torch default);
         # flax computes the statistics in float32 even under bfloat16 dtype
+        # epsilon matches torch nn.InstanceNorm2d (1e-5, NOT flax's 1e-6
+        # default): converted reference checkpoints normalize flat low-
+        # variance channels by sqrt(var + eps), and the mismatch compounds
+        # through 8 norm layers
         return nn.GroupNorm(
-            num_groups=channels, use_bias=False, use_scale=False, dtype=dtype
+            num_groups=channels, use_bias=False, use_scale=False,
+            epsilon=1e-5, dtype=dtype,
         )
     if norm_fn == "none":
         return lambda x: x

@@ -57,7 +57,6 @@ def depth_filter(
     """
     F, ht, wd = disps.shape
     fx, fy, cx, cy = intrinsics0
-    grid = pops.coords_grid(ht, wd)
 
     def one_pair(ix, jx, t):
         ok_pair = (jx >= 0) & (jx < F)

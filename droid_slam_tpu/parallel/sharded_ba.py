@@ -212,12 +212,13 @@ def build_sharded_ba(
         w_rhs = w_own - m * alpha * (disps_own - sens_own)
 
         in_window = own_ok & (own_frames >= t0) & (own_frames < t1)
-        touched = (
-            jax.ops.segment_sum(
-                valid.astype(jnp.int32), jnp.clip(k_local, 0, fd - 1),
-                num_segments=fd,
-            )
-            > 0
+        # boolean "any edge touches this frame" as a compare-reduce, NOT
+        # segment_sum (which lowers to a sequential dynamic-update-slice
+        # chain on TPU — see the one-hot scatter rule in CLAUDE.md)
+        touched = jnp.any(
+            (jnp.clip(k_local, 0, fd - 1)[None, :] == jnp.arange(fd)[:, None])
+            & valid[None, :],
+            axis=1,
         )
         in_kx = (in_window | (touched & own_ok)).astype(poses.dtype)
         Q = in_kx[:, None] / jnp.where(C == 0.0, 1.0, C)

@@ -33,16 +33,25 @@ def filtered_point_cloud(
     if t == 0:
         return np.zeros((0, 3)), np.zeros((0, 3), np.uint8)
 
-    poses = video.poses[:t]
-    disps = video.disps[:t]
+    # pad the frame count to a multiple of 32: depth_filter/iproj_points are
+    # jitted, and slicing to the raw growing t would recompile them on every
+    # new keyframe inside the live visualizer thread (each compile dispatched
+    # over the device tunnel, stalling tracking)
+    B = video.poses.shape[0]
+    tp = min(B, -(-t // 32) * 32)
+    poses = video.poses[:tp]
+    disps = video.disps[:tp]
     intr = video.intrinsics[0]
 
-    inds = jnp.arange(t)
-    thresh = filter_thresh * jnp.ones((t,)) * jnp.mean(disps, axis=(1, 2))
-    counts = np.asarray(depth_filter(poses, disps, intr, inds, thresh))
-    points = np.asarray(iproj_points(poses, disps, intr))
+    inds = jnp.arange(tp)
+    # CONSTANT threshold, exactly like the reference (visualization.py:102
+    # — its ones_like is shape-only); the mean-disparity scaling belongs to
+    # the disparity mask below, not here
+    thresh = filter_thresh * jnp.ones((tp,))
+    counts = np.asarray(depth_filter(poses, disps, intr, inds, thresh))[:t]
+    points = np.asarray(iproj_points(poses, disps, intr))[:t]
 
-    disps_np = np.asarray(disps)
+    disps_np = np.asarray(disps[:t])
     masks = (counts >= min_count) & (
         disps_np > 0.5 * disps_np.mean(axis=(1, 2), keepdims=True)
     )
@@ -157,12 +166,22 @@ class VisualizerThread:
             except Exception:
                 vis = None  # headless fallback: keep .latest/sink working
 
+        fail_streak = 0
         while not self._stop.is_set():
             try:
                 updated = self._poll_once()
+                fail_streak = 0
             except Exception:
-                # tracking may be mid-edit; retry next tick
+                # tracking may be mid-edit; retry next tick — but a
+                # DETERMINISTIC failure must not leave the visualizer
+                # silently dead forever
                 updated = False
+                fail_streak += 1
+                if fail_streak == 5:
+                    import traceback
+
+                    print("visualizer: poll failing repeatedly:")
+                    traceback.print_exc()
             if vis is not None:
                 if updated:
                     import open3d as o3d
