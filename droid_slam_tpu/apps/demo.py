@@ -15,6 +15,10 @@ from __future__ import annotations
 
 import argparse
 import os
+
+# first compiles of the tracking/training steps are minutes; persistent
+# cache unless the caller chose one (CLAUDE.md rule for all scripts)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import time
 
 import numpy as np
@@ -46,7 +50,11 @@ def main():
     parser.add_argument("--calib", type=str, help="path to calibration file")
     parser.add_argument("--weights", default=None)
     parser.add_argument("--buffer", type=int, default=512)
-    parser.add_argument("--image_size", default=[240, 320], nargs=2, type=int)
+    parser.add_argument("--image_size", default=None, nargs=2, type=int,
+                        help="approximate working resolution: frames are "
+                        "resized (aspect preserved) to about H*W pixels; "
+                        "default keeps the reference's 384*512-pixel area "
+                        "(demo.py:47-52)")
     parser.add_argument("--t0", default=0, type=int, help="starting frame")
     parser.add_argument("--t1", default=None, type=int, help="ending frame")
     parser.add_argument("--stride", default=3, type=int)
@@ -71,6 +79,11 @@ def main():
                         help="capture a jax.profiler device trace of tracking")
     args = parser.parse_args()
 
+    # the exported reconstruction's dense depths come from the upsampled
+    # disparities; without them disps.npy would be zeros (demo.py:118-119)
+    if args.reconstruction_path is not None:
+        args.upsample = True
+
     import jax.numpy as jnp
 
     from ..runtime import Droid, DroidConfig
@@ -87,7 +100,14 @@ def main():
             upsample=args.upsample,
         )
     else:
-        stream = list(image_stream(args.imagedir, args.calib, args.stride))
+        area = (
+            args.image_size[0] * args.image_size[1]
+            if args.image_size else 384 * 512
+        )
+        stream = list(
+            image_stream(args.imagedir, args.calib, args.stride,
+                         target_area=area)
+        )
         # frame-range selection, t1 inclusive (reference demo.py:87-88,124-126)
         stream = stream[args.t0 : None if args.t1 is None else args.t1 + 1]
         h, w = stream[0][1].shape[:2]

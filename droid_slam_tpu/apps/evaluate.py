@@ -21,6 +21,10 @@ from __future__ import annotations
 import argparse
 import os
 
+# first compiles of the tracking/training steps are minutes; persistent
+# cache unless the caller chose one (CLAUDE.md rule for all scripts)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 
@@ -62,7 +66,11 @@ def main():
                         help="override the runtime compute dtype (bf16 is the "
                         "TPU default; use float32 on CPU, where bf16 is "
                         "emulated and ~2x slower)")
-    parser.add_argument("--depth", action="store_true", help="eth3d: use RGB-D")
+    parser.add_argument("--mono", action="store_true",
+                        help="eth3d: ignore the depth stream (the named "
+                        "protocol is RGB-D, test_eth3d.py:34; mono output "
+                        "has arbitrary scale, so ATE is scored WITH scale "
+                        "correction in this mode)")
     parser.add_argument("--save_traj", default=None)
     args = parser.parse_args()
     if args.dataset != "synthetic" and not args.datapath:
@@ -123,10 +131,15 @@ def main():
         gt_csv = f"{args.datapath}/mav0/state_groundtruth_estimate0/data.csv"
         gt = args.gt or (gt_csv if os.path.exists(gt_csv) else None)
     elif args.dataset == "eth3d":
-        track = list(streams.eth3d_stream(args.datapath, use_depth=args.depth, stride=1))
+        # the protocol is RGB-D (test_eth3d.py:34 streams depth/5000 always)
+        # with NO scale correction; a --mono run has arbitrary scale and is
+        # only meaningful scale-corrected
+        track = list(
+            streams.eth3d_stream(args.datapath, use_depth=not args.mono, stride=1)
+        )
         fill = list(streams.eth3d_stream(args.datapath, use_depth=False, stride=1))
         config = preset("eth3d")
-        scale_correct, pos_scale = False, 1.0
+        scale_correct, pos_scale = (True, 1.0) if args.mono else (False, 1.0)
         gt = args.gt or f"{args.datapath}/groundtruth.txt"
     else:  # tartanair
         track = streams.tartanair_stream(args.datapath, stereo=args.stereo)
@@ -165,7 +178,17 @@ def main():
         print(f"saved trajectory to {args.save_traj}")
 
     if gt is not None:
-        ref = Trajectory.load(gt)
+        if args.dataset == "tartanair":
+            # pose_left.txt has NO timestamp column and is in NED: permute
+            # ned->xyz and associate BY INDEX, exactly like the reference
+            # (validate_tartanair.py:93-94)
+            raw = np.loadtxt(gt, delimiter=" ")[:, [1, 2, 0, 4, 5, 3, 6]]
+            ref = Trajectory(
+                np.arange(len(raw), dtype=np.float64),
+                raw[:, :3], raw[:, 3:],
+            )
+        else:
+            ref = Trajectory.load(gt)
     if ref is not None:
         max_dt = 1e16 if args.dataset == "tartanair" else 0.02
         if args.dataset == "synthetic":

@@ -17,6 +17,10 @@ from __future__ import annotations
 import argparse
 import os
 
+# first compiles of the tracking/training steps are minutes; persistent
+# cache unless the caller chose one (CLAUDE.md rule for all scripts)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 
@@ -127,9 +131,11 @@ def main():
     state = replicate_for_mesh(state, mesh)
     step_fn = make_train_step(cfg, np.asarray(base_ii), np.asarray(base_jj))
 
-    logger = Logger(args.name)
     rng = np.random.default_rng(12345)
     total_steps = int(jax.device_get(state["step"]))
+    # seed the logger so a resumed run continues the TB curve instead of
+    # overwriting it from step 0
+    logger = Logger(args.name, total_steps=total_steps)
 
     for batch in db.clips(args.batch):
         # poses: dataset convention c2w → w2c (train.py:86-88)
@@ -170,10 +176,12 @@ def main():
         # must not poison it. Always run at least one pass (restart_prob=0
         # must still train).
         grads_sum = None
+        # static keys (images etc.) transfer once; restart passes re-put
+        # only the two initialisation arrays they update
+        sharded = shard_batch_for_mesh(train_batch, mesh)
         r = -1.0
         while r < args.restart_prob:
             r = rng.random()
-            sharded = shard_batch_for_mesh(train_batch, mesh)
             grads, metrics, out = step_fn.grad(state["params"], sharded)
             grads_sum = (
                 grads if grads_sum is None
@@ -182,8 +190,11 @@ def main():
             poses_re = np.asarray(out.poses[-1])
             disps_re = np.asarray(out.disps_up[-1][:, :, 3::8, 3::8])
             if np.isfinite(poses_re).all() and np.isfinite(disps_re).all():
-                train_batch["poses_init"] = poses_re
-                train_batch["disps_init"] = np.clip(disps_re, 1e-3, 10.0)
+                upd = shard_batch_for_mesh(
+                    {"poses_init": poses_re,
+                     "disps_init": np.clip(disps_re, 1e-3, 10.0)}, mesh
+                )
+                sharded = {**sharded, **upd}
         state = step_fn.apply(state, grads_sum)
 
         total_steps += 1

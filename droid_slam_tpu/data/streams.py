@@ -82,9 +82,12 @@ def _bgr2rgb(image: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(image[..., ::-1])
 
 
-def image_stream(imagedir: str, calib: str, stride: int = 1) -> Iterator:
+def image_stream(
+    imagedir: str, calib: str, stride: int = 1, target_area: int = 384 * 512
+) -> Iterator:
     """Generic calibrated monocular stream (demo.py:25-60). `calib` is a text
-    file `fx fy cx cy [dist…]` (README.md:93-97)."""
+    file `fx fy cx cy [dist…]` (README.md:93-97). Frames are resized (aspect
+    preserved) to ≈`target_area` pixels and cropped to multiples of 8."""
     calib_arr = np.loadtxt(calib, delimiter=" ")
     fx, fy, cx, cy = calib_arr[:4]
     K = np.eye(3)
@@ -102,7 +105,7 @@ def image_stream(imagedir: str, calib: str, stride: int = 1) -> Iterator:
                 image = _nl.remap(image, *maps)
             else:
                 image = _cv2().undistort(image, K, calib_arr[4:])
-        image, (sx, sy) = _resize_to_area(image)
+        image, (sx, sy) = _resize_to_area(image, target_area)
         intrinsics = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
         yield t, image, intrinsics
 

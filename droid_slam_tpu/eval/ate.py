@@ -70,24 +70,36 @@ class Trajectory:
 def associate(
     t_a: np.ndarray, t_b: np.ndarray, max_dt: float = 0.02
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy nearest-timestamp association (the TUM benchmark convention)."""
-    ia, ib = [], []
-    used = np.zeros(len(t_b), bool)
+    """Greedy timestamp association in globally ASCENDING dt order (the TUM
+    benchmark convention). Iterating t_a first-come instead would let a
+    dense-GT sample up to max_dt early claim an estimate frame before its
+    dt~0 partner is considered, biasing every matched pair stale."""
     order_b = np.argsort(t_b)
     tb_sorted = t_b[order_b]
+    # candidates: each ta's two bracketing tb neighbors
+    pos = np.searchsorted(tb_sorted, t_a)
+    cand = []
     for k, ta in enumerate(t_a):
-        pos = np.searchsorted(tb_sorted, ta)
-        best, best_dt = -1, max_dt
-        for c in (pos - 1, pos):
+        for c in (pos[k] - 1, pos[k]):
             if 0 <= c < len(tb_sorted):
                 dt = abs(tb_sorted[c] - ta)
-                if dt <= best_dt and not used[order_b[c]]:
-                    best, best_dt = order_b[c], dt
-        if best >= 0:
-            used[best] = True
+                if dt <= max_dt:
+                    cand.append((dt, k, order_b[c]))
+    cand.sort(key=lambda x: x[0])
+    used_a = np.zeros(len(t_a), bool)
+    used_b = np.zeros(len(t_b), bool)
+    ia, ib = [], []
+    for _, k, j in cand:
+        if not used_a[k] and not used_b[j]:
+            used_a[k] = True
+            used_b[j] = True
             ia.append(k)
-            ib.append(best)
-    return np.asarray(ia, np.int64), np.asarray(ib, np.int64)
+            ib.append(j)
+    order = np.argsort(ia)
+    return (
+        np.asarray(ia, np.int64)[order],
+        np.asarray(ib, np.int64)[order],
+    )
 
 
 def align_umeyama(

@@ -64,6 +64,7 @@ PRESETS = {
     # test_tum.py:55-74
     "tum": DroidConfig(
         buffer=512,
+        beta=0.6,
         warmup=12,
         filter_thresh=1.75,
         keyframe_thresh=2.25,
@@ -83,7 +84,7 @@ PRESETS = {
         frontend_thresh=17.5,
         frontend_window=20,
         frontend_radius=2,
-        frontend_nms=2,
+        frontend_nms=1,
         backend_thresh=24.0,
         backend_radius=2,
         backend_nms=2,
@@ -92,13 +93,14 @@ PRESETS = {
     # test_eth3d.py:59-81
     "eth3d": DroidConfig(
         buffer=1024,
+        beta=0.5,
         warmup=8,
-        filter_thresh=2.4,
+        filter_thresh=2.0,
         keyframe_thresh=3.5,
         frontend_thresh=16.0,
-        frontend_window=25,
-        frontend_radius=2,
-        frontend_nms=1,
+        frontend_window=16,
+        frontend_radius=1,
+        frontend_nms=0,
         image_size=(240, 320),
     ),
     # validate_tartanair.py:41-63

@@ -16,6 +16,8 @@ class Logger:
         self.name = name
         self.total_steps = total_steps
         self.running: Dict[str, float] = {}
+        self._pushes = 0  # pushes since the last flush (a resumed step
+        # counter starts mid-window, so dividing by SUM_FREQ would be wrong)
         self.writer = None
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -26,7 +28,8 @@ class Logger:
 
     def _print_status(self):
         keys = sorted(self.running.keys())
-        vals = [self.running[k] / SUM_FREQ for k in keys]
+        n = max(self._pushes, 1)
+        vals = [self.running[k] / n for k in keys]
         line = f"[{self.name} {self.total_steps:>6d}] " + " ".join(
             f"{k}={v:.4f}" for k, v in zip(keys, vals)
         )
@@ -34,6 +37,7 @@ class Logger:
 
     def push(self, metrics: Dict[str, float]):
         self.total_steps += 1
+        self._pushes += 1
         for k, v in metrics.items():
             self.running[k] = self.running.get(k, 0.0) + float(v)
 
@@ -41,10 +45,12 @@ class Logger:
             if self.writer is not None:
                 for k in self.running:
                     self.writer.add_scalar(
-                        k, self.running[k] / SUM_FREQ, self.total_steps
+                        k, self.running[k] / max(self._pushes, 1),
+                        self.total_steps,
                     )
             self._print_status()
             self.running = {}
+            self._pushes = 0
 
     def write_dict(self, d: Dict[str, float]):
         if self.writer is not None:

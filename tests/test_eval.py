@@ -129,6 +129,18 @@ def test_associate_by_timestamp():
     assert list(ib) == [0, 1]
 
 
+def test_associate_prefers_nearest_not_first():
+    """Dense GT vs sparse estimates (the EuRoC shape: 200 Hz GT, 20 Hz est):
+    each estimate must pair with its NEAREST GT sample, not with an earlier
+    one up to max_dt stale that happened to be scanned first."""
+    t_gt = np.arange(0.0, 1.0, 0.005)  # 200 Hz
+    t_est = np.array([0.1, 0.5, 0.9])
+    ia, ib = associate(t_gt, t_est, max_dt=0.02)
+    assert len(ia) == 3
+    matched_gt = t_gt[ia]
+    assert np.abs(matched_gt - t_est[ib]).max() < 1e-9  # exact hits exist
+
+
 def test_iproj_points_roundtrip():
     """Back-projected points must reproject onto the original pixels."""
     F, ht, wd = 3, 6, 8

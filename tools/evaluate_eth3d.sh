@@ -5,5 +5,5 @@ ETH3D_PATH=${ETH3D_PATH:-datasets/ETH3D-SLAM/training}
 
 for seq in "$ETH3D_PATH"/*/; do
     python -m droid_slam_tpu.apps.evaluate --dataset eth3d \
-        --datapath "$seq" --depth "$@"
+        --datapath "$seq" "$@"
 done
