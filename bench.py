@@ -19,6 +19,9 @@ import json
 import os
 import time
 
+# first compiles of the fused track step are minutes (CLAUDE.md script rule)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 import jax
@@ -61,7 +64,8 @@ def backend_scale_probe(t: int = 200, image_size=(240, 320)) -> dict:
     v.nets = jnp.asarray(np.tanh(rng.standard_normal((cfg.buffer, h, w, 128))).astype(np.float32))
     v.inps = jnp.asarray(rng.standard_normal((cfg.buffer, h, w, 128)).astype(np.float32))
 
-    graph = FactorGraph(v, upd, max_factors=_pow2ceil(16 * t), inactive_pad=16)
+    graph = FactorGraph(v, upd, max_factors=_pow2ceil(16 * t),
+                        edge_pad=_pow2ceil(16 * t), inactive_pad=16)
 
     # 16·t-edge graph: temporal neighborhood + random long-range, both directions
     ii, jj = [], []
@@ -104,8 +108,9 @@ def _probe_tunnel():
 
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
-    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
-        return
+    # no JAX_PLATFORMS skip: the sitecustomize plugin blocks backend init in
+    # its connect-retry loop even under an in-process JAX_PLATFORMS=cpu pin
+    # (CLAUDE.md) — only unsetting PALLAS_AXON_POOL_IPS makes a run safe
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],

@@ -111,11 +111,15 @@ def imread(path: str) -> Optional[np.ndarray]:
     if lib.dn_decode(path.encode(), ctypes.byref(img)) != 0:
         return None
     n = img.h * img.w * img.channels * img.bytes_per_channel
-    buf = ctypes.string_at(img.data, n)
+    # copy straight into a WRITABLE numpy buffer (frombuffer over bytes is
+    # read-only, unlike the cv2 fallback's arrays — a backend-dependent
+    # contract split); one memmove either way
+    out = np.empty(n, np.uint8)
+    ctypes.memmove(out.ctypes.data, img.data, n)
     lib.dn_free(img.data)
     if img.bytes_per_channel == 2:
-        return np.frombuffer(buf, np.uint16).reshape(img.h, img.w)
-    return np.frombuffer(buf, np.uint8).reshape(img.h, img.w, img.channels)
+        return out.view(np.uint16).reshape(img.h, img.w)
+    return out.reshape(img.h, img.w, img.channels)
 
 
 def remap(image: np.ndarray, mapx: np.ndarray, mapy: np.ndarray) -> np.ndarray:

@@ -94,17 +94,33 @@ def image_stream(
     K[0, 0], K[0, 2], K[1, 1], K[1, 2] = fx, cx, fy, cy
 
     image_list = sorted(os.listdir(imagedir))[::stride]
-    maps = None
-    for t, imfile in enumerate(image_list):
-        image = _imread_rgb(os.path.join(imagedir, imfile))
+    paths = [os.path.join(imagedir, f) for f in image_list]
+
+    if _nl.available() and paths:
+        # native worker-pool pipeline: decode -> [undistort] -> resize -> %8
+        # crop all run ahead of the track loop in C++ threads
+        first = _nl.imread(paths[0])
+        h0, w0 = first.shape[:2]
+        s = np.sqrt(target_area / (h0 * w0))
+        h1, w1 = int(h0 * s), int(w0 * s)
+        maps = (
+            _nl.build_undistort_rectify_map(K, calib_arr[4:], (w0, h0))
+            if len(calib_arr) > 4 else None
+        )
+        sx, sy = w1 / w0, h1 / h0
+        intrinsics = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
+        pipe = _nl.Pipeline(
+            paths, maps=maps, resize_hw=(h1, w1),
+            crop=(0, 0, h1 % 8, w1 % 8),  # (top, left, bottom, right)
+        )
+        for t, image in enumerate(pipe):
+            yield t, image, intrinsics
+        return
+
+    for t, path in enumerate(paths):
+        image = _imread_rgb(path)
         if len(calib_arr) > 4:
-            if _nl.available():
-                if maps is None:
-                    h0, w0 = image.shape[:2]
-                    maps = _nl.build_undistort_rectify_map(K, calib_arr[4:], (w0, h0))
-                image = _nl.remap(image, *maps)
-            else:
-                image = _cv2().undistort(image, K, calib_arr[4:])
+            image = _cv2().undistort(image, K, calib_arr[4:])
         image, (sx, sy) = _resize_to_area(image, target_area)
         intrinsics = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
         yield t, image, intrinsics
@@ -119,28 +135,26 @@ def tum_stream(datapath: str, stride: int = 2) -> Iterator:
     d = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
 
     images_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
-    maps = None
-    for t, imfile in enumerate(images_list):
-        image = _imread_rgb(imfile)
-        if _nl.available():
-            if maps is None:
-                maps = _nl.build_undistort_rectify_map(
-                    K, d, (image.shape[1], image.shape[0])
-                )
-            image = _nl.remap(image, *maps)
-        else:
-            image = cv2.undistort(image, K, d)
-        image = _resize_rgb(image, (240 + 16, 320 + 32))
-        intr = np.array(
-            [
-                fx * image.shape[1] / 640.0,
-                fy * image.shape[0] / 480.0,
-                cx * image.shape[1] / 640.0 - 16,
-                cy * image.shape[0] / 480.0 - 8,
-            ],
-            np.float32,
+    # fr1 frames are 640x480 -> resize to 256+16 x 352(=320+32) -> crop margins
+    intr = np.array(
+        [fx * 352 / 640.0, fy * 256 / 480.0,
+         cx * 352 / 640.0 - 16, cy * 256 / 480.0 - 8],
+        np.float32,
+    )
+    if _nl.available():
+        # full decode -> undistort-remap -> resize -> crop chain runs in the
+        # native C++ worker pool, overlapping with device tracking
+        maps = _nl.build_undistort_rectify_map(K, d, (640, 480))
+        pipe = _nl.Pipeline(
+            images_list, maps=maps, resize_hw=(256, 352),
+            crop=(8, 16, 8, 16),  # (top, left, bottom, right) -> 240x320
         )
-        image = image[8:-8, 16:-16]
+        for t, image in enumerate(pipe):
+            yield stride * t, image, intr
+        return
+    for t, imfile in enumerate(images_list):
+        image = cv2.undistort(_bgr2rgb(cv2.imread(imfile)), K, d)
+        image = cv2.resize(image, (352, 256))[8:-8, 16:-16]
         yield stride * t, image, intr
 
 
@@ -200,6 +214,17 @@ def euroc_stream(
             return _nl.remap(img, *maps)
         cv2 = _cv2()
         return cv2.remap(img, maps[0], maps[1], cv2.INTER_LINEAR)
+
+    intr = (intr_vec * np.array([W / wd0, H / ht0, W / wd0, H / ht0])).astype(
+        np.float32
+    )
+    if not stereo and _nl.available():
+        # mono: the decode -> rectify-remap -> resize chain runs in the
+        # native C++ worker pool, overlapping with device tracking
+        pipe = _nl.Pipeline(images_left, maps=map_l, resize_hw=(H, W))
+        for t, image in enumerate(pipe):
+            yield stride * t, image, intr
+        return
 
     for t, (imgL, imgR) in enumerate(zip(images_left, images_right)):
         if stereo and not os.path.isfile(imgR):

@@ -43,6 +43,10 @@ class DroidBackend:
             v,
             self.params,
             max_factors=_pow2ceil(16 * t),
+            # proximity with remove=False appends at most budget+2 edges
+            # (the es counter breaks past max_factors); a tight pad — the
+            # 2x default would double the dominant edge-buffer memory
+            edge_pad=_pow2ceil(16 * t) + 32,
             inactive_pad=cfg.inactive_pad,
             window_pad=cfg.window_pad,
             schur_pair_floor=cfg.schur_pair_floor,

@@ -446,10 +446,18 @@ class FactorGraph:
         window_pad: int = 64,
         schur_pair_floor: int = 4096,
         upsample: bool = False,
+        edge_pad: int = None,
     ):
         self.video = video
         self.params = params
         self.max_factors = max_factors
+        # static capacity of the ACTIVE edge store. max_factors is the
+        # reference's eviction/budget THRESHOLD, not a hard capacity: with
+        # remove=False the reference appends past it (factor_graph.py:102-103
+        # guards the LRU drop on `remove`), e.g. the tum/euroc initialization
+        # neighborhood (6*warmup - 12 edges > 48). A store capped at
+        # max_factors silently dropped those init edges.
+        self.edge_pad = edge_pad if edge_pad is not None else 2 * max_factors
         self.window_pad = window_pad
         self.schur_pair_floor = schur_pair_floor
         self.upsample = upsample
@@ -458,10 +466,10 @@ class FactorGraph:
         self.h, self.w = h, w
 
         # host-canonical edge bookkeeping
-        self.ii = np.zeros(max_factors, np.int32)
-        self.jj = np.zeros(max_factors, np.int32)
-        self.age = np.zeros(max_factors, np.int32)
-        self.valid = np.zeros(max_factors, bool)
+        self.ii = np.zeros(self.edge_pad, np.int32)
+        self.jj = np.zeros(self.edge_pad, np.int32)
+        self.age = np.zeros(self.edge_pad, np.int32)
+        self.valid = np.zeros(self.edge_pad, bool)
 
         self.inactive_pad = inactive_pad
         self.ii_inac = np.zeros(inactive_pad, np.int32)
@@ -470,8 +478,9 @@ class FactorGraph:
         self.inac_next = 0  # ring pointer for inactive slot reuse
 
         self.bad_edges: set = set()
+        self._topology_version = 0  # bumped on every edge/keyframe edit
 
-        self.edges = _empty_edges(max_factors, h, w)
+        self.edges = _empty_edges(self.edge_pad, h, w)
         self.inactive = _empty_inactive(inactive_pad, h, w)
         self.damping = 1e-6 * jnp.ones((video.config.buffer, h, w), jnp.float32)
 
@@ -526,24 +535,31 @@ class FactorGraph:
         ii, jj = ii[uniq], jj[uniq]
         if len(ii) == 0:
             return
+        self._topology_version += 1
 
         free = np.nonzero(~self.valid)[0]
-        need = len(ii) - len(free)
-        if need > 0 and remove:
-            # evict oldest edges to the inactive store; stable sort so ties
-            # break by ascending slot — the fused engine's argsort order
-            active_slots = np.nonzero(self.valid)[0]
-            order = active_slots[np.argsort(-self.age[active_slots], kind="stable")]
-            evict = order[:need]
-            self._deactivate(evict, store=True)
-            free = np.nonzero(~self.valid)[0]
+        if remove:
+            # reference semantics (factor_graph.py:102-107): with remove=True
+            # the ACTIVE COUNT is held at max_factors — evict oldest so that
+            # count + new <= max_factors (NOT merely until the store fits;
+            # the store is deliberately larger for remove=False appends)
+            need = int(self.valid.sum()) + len(ii) - self.max_factors
+            if need > 0:
+                # stable sort so ties break by ascending slot — the fused
+                # engine's argsort order
+                active_slots = np.nonzero(self.valid)[0]
+                order = active_slots[
+                    np.argsort(-self.age[active_slots], kind="stable")
+                ]
+                self._deactivate(order[:need], store=True)
+                free = np.nonzero(~self.valid)[0]
         n_write = min(len(ii), len(free))
         ii, jj = ii[:n_write], jj[:n_write]
         slots = free[:n_write]
 
-        new_ii = np.zeros(self.max_factors, np.int32)
-        new_jj = np.zeros(self.max_factors, np.int32)
-        write = np.zeros(self.max_factors, bool)
+        new_ii = np.zeros(self.edge_pad, np.int32)
+        new_jj = np.zeros(self.edge_pad, np.int32)
+        write = np.zeros(self.edge_pad, bool)
         new_ii[slots] = ii
         new_jj[slots] = jj
         write[slots] = True
@@ -574,16 +590,26 @@ class FactorGraph:
         slots = np.asarray(slots, np.int64)
         if slots.size == 0:
             return
-        drop = np.zeros(self.max_factors, bool)
+        self._topology_version += 1
+        drop = np.zeros(self.edge_pad, bool)
         drop[slots] = True
-        dst = np.zeros(self.max_factors, np.int32)
-        store_mask = np.zeros(self.max_factors, bool)
+        dst = np.zeros(self.edge_pad, np.int32)
+        store_mask = np.zeros(self.edge_pad, bool)
+        store_slots = slots
+        if store and len(store_slots) > self.inactive_pad:
+            # ring-allocating more than the ring holds would hand DUPLICATE
+            # destination slots to the scatter, whose winner is unspecified
+            # in XLA while the host bookkeeping takes numpy's last write —
+            # the two could disagree. Store only the newest `inactive_pad`
+            # edges of the batch (the rest would be overwritten immediately);
+            # ALL dropped edges still deactivate.
+            store_slots = store_slots[-self.inactive_pad:]
         if store:
-            inac_slots = self._alloc_inactive(len(slots))
-            dst[slots] = inac_slots
-            store_mask[slots] = True
-            self.ii_inac[inac_slots] = self.ii[slots]
-            self.jj_inac[inac_slots] = self.jj[slots]
+            inac_slots = self._alloc_inactive(len(store_slots))
+            dst[store_slots] = inac_slots
+            store_mask[store_slots] = True
+            self.ii_inac[inac_slots] = self.ii[store_slots]
+            self.jj_inac[inac_slots] = self.jj[store_slots]
             self.valid_inac[inac_slots] = True
         self.valid[slots] = False
 
@@ -611,6 +637,7 @@ class FactorGraph:
     def rm_keyframe(self, ix: int):
         """Remove keyframe ix: shift video buffers down, reindex/drop edges
         (factor_graph.py:166-195)."""
+        self._topology_version += 1
         v = self.video
         jx = jnp.int32(ix)
         for name in (
@@ -618,6 +645,10 @@ class FactorGraph:
             "intrinsics", "fmaps", "nets", "inps",
         ):
             setattr(v, name, _shift_down_kernel(getattr(v, name), jx))
+        # the persistent per-frame damping memory is indexed by absolute
+        # frame id too (the fused engine shifts its copy; leaving this one
+        # behind applies frame k+1's damping to frame k after a cull)
+        self.damping = _shift_down_kernel(self.damping, jx)
 
         # inactive edges: drop those touching ix, shift the rest
         m = (self.ii_inac == ix) | (self.jj_inac == ix)
@@ -646,6 +677,7 @@ class FactorGraph:
         self.rm_factors(m, store=False)
 
     def clear_edges(self):
+        self._topology_version += 1
         self.rm_factors(self.valid.copy(), store=False)
 
     # --------------------------------------------------------------- update
@@ -695,10 +727,20 @@ class FactorGraph:
         else:
             ba_ii, ba_jj, ba_valid = self.ii, self.jj, self.valid
 
-        pairs = ba_ops.SchurPairs.build(
-            ba_ii, ba_jj, ba_valid, t0, t1, self.window_pad,
-            pad_floor=self.schur_pair_floor,
+        # the frontend calls update() 4-6x per keyframe with UNCHANGED edge
+        # topology — cache the host-built pair schedule on its inputs (the
+        # per-edit bump of _topology_version invalidates it)
+        key = (
+            self._topology_version, int(t0), int(t1), bool(use_inactive)
         )
+        if getattr(self, "_pairs_key", None) == key:
+            pairs = self._pairs_cache
+        else:
+            pairs = ba_ops.SchurPairs.build(
+                ba_ii, ba_jj, ba_valid, t0, t1, self.window_pad,
+                pad_floor=self.schur_pair_floor,
+            )
+            self._pairs_key, self._pairs_cache = key, pairs
 
         (
             self.video.poses,
@@ -811,6 +853,7 @@ class FactorGraph:
                 jnp.int32(t1),
                 window,
                 itrs,
+                ep=EP,  # the mesh branch uses EP too — keep the paths equal
             )
             if mesh is not None:
                 self.video.poses, self.video.disps = sharded_ba_solve(

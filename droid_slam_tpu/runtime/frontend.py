@@ -22,6 +22,14 @@ class DroidFrontend:
             video,
             params,
             max_factors=config.max_factors,
+            # headroom for the initialization neighborhood, which appends
+            # past max_factors with remove=False exactly like the reference
+            # (6*warmup - 12 edges, plus stereo self-edges); matches the
+            # fused engine's _edge_slots so the engines stay equivalent
+            edge_pad=-(-max(config.max_factors,
+                            6 * config.warmup - 12
+                            + (config.warmup if config.stereo else 0)) // 8)
+                     * 8,
             inactive_pad=config.inactive_pad,
             window_pad=config.window_pad,
             schur_pair_floor=config.schur_pair_floor,

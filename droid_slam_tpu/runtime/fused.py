@@ -95,7 +95,7 @@ def init_state(config) -> SLAMState:
     H, W = config.image_size
     h, w = config.feat_size
     rig = 2 if config.stereo else 1
-    Nmax = config.max_factors
+    Nmax = _edge_slots(config)
     K = config.inactive_pad
     f32 = jnp.float32
     # matching features only feed the correlation matmuls — store them in the
@@ -175,16 +175,34 @@ def _rm_factors(st: SLAMState, drop: Array, store: bool) -> SLAMState:
     return st._replace(valid=st.valid & ~drop)
 
 
+def _edge_slots(config) -> int:
+    """Static capacity of the active edge store. max_factors is the
+    reference's eviction/budget THRESHOLD, not a capacity — remove=False
+    appends past it during initialization, whose |i-j|<=3 neighborhood alone
+    is 6*warmup - 12 edges (factor_graph.py:102-107): a store capped at
+    max_factors silently dropped HALF the tum/euroc init graph. Every update
+    iteration pays compute over all slots (masked), so the store is sized to
+    the init neighborhood, not beyond: the few init greedy picks that would
+    exceed it are dropped (a deliberate approximation; steady state is
+    budget-evicted to max_factors anyway)."""
+    init_peak = 6 * config.warmup - 12 + (config.warmup if config.stereo else 0)
+    return -(-max(config.max_factors, init_peak) // 8) * 8
+
+
 def _add_edges(
     st: SLAMState,
     cand_ii: Array,  # [C]
     cand_jj: Array,
     cand_ok: Array,  # [C] bool
     evict: Array,  # bool scalar — LRU-evict to make room (frontend remove=True)
+    budget: int = None,  # static eviction threshold (config.max_factors)
 ) -> SLAMState:
     """Masked add_factors (factor_graph.py:86-135): dedup against existing
-    edges and within the batch, optionally evict oldest, write new slots."""
+    edges and within the batch, optionally evict oldest, write new slots.
+    With evict, the active COUNT is held at `budget` (reference
+    factor_graph.py:102-107), not merely at the store capacity."""
     Nmax = st.ii.shape[0]
+    cap = budget if budget is not None else Nmax
     C = cand_ii.shape[0]
 
     # dedup vs active + inactive stores
@@ -201,8 +219,7 @@ def _add_edges(
     ok = cand_ok & ~dup & ~dup_in_batch
 
     n_new = jnp.sum(ok)
-    n_free = Nmax - jnp.sum(st.valid)
-    need = jnp.maximum(n_new - n_free, 0)
+    need = jnp.maximum(jnp.sum(st.valid) + n_new - cap, 0)
 
     # LRU eviction by age (only when evict flag set)
     age_key = jnp.where(st.valid, st.age, -1)
@@ -665,7 +682,8 @@ def build_track_step(params, config):
                 stereo=stereo,
                 max_factors=Nmax,
             )
-            st = _add_edges(st, ci, cj, cok, evict=jnp.bool_(True))
+            st = _add_edges(st, ci, cj, cok, evict=jnp.bool_(True),
+                            budget=Nmax)
 
             # RGB-D prior seeds the new keyframe disparity
             sens = st.disps_sens[t1 - 1]

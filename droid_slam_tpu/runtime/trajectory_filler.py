@@ -73,6 +73,7 @@ class PoseTrajectoryFiller:
             v,
             {"params": self.params["params"]["update"]},
             max_factors=max(2 * M, 32),
+            edge_pad=max(2 * M, 32),  # exactly 2M edges are added
             inactive_pad=8,
             window_pad=max(32, M),
             schur_pair_floor=self.config.schur_pair_floor,
