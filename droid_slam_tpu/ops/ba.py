@@ -266,8 +266,11 @@ def _onehot_scatter(blocks: Array, idx: Array, ok: Array, n_seg: int) -> Array:
     XLA lowers segment_sum/scatter on TPU to a sequential chain of
     dynamic-update-slices (one per edge — measured milliseconds per BA
     iteration at demo scale); the [n_seg, N] one-hot contraction is one MXU
-    matmul. Exact: one-hot entries are 0/1 and the contraction runs at
-    HIGHEST precision, so sums match scatter ordering-independently.
+    matmul. For float32 inputs this is exact: one-hot entries are 0/1 and
+    the contraction runs at HIGHEST precision, so sums match scatter
+    ordering-independently. For bfloat16 inputs (the dense-window path's
+    schur_dtype) the accumulation rounds to bf16 — the documented ~0.4%
+    speed/accuracy tradeoff, NOT lossless.
     """
     N = blocks.shape[0]
     oh = (
@@ -459,6 +462,11 @@ class SchurPairs(NamedTuple):
         graph edits reuse compiled programs."""
         N = len(ii)
         P = t1 - t0
+        # guard the window-span assumption here, where every pair-path caller
+        # funnels through: a window smaller than the span silently drops
+        # H/v/E blocks in _scatter_mat's range masks and freezes the poses
+        # past t0+window while their depths keep updating
+        assert P <= window, f"BA window span {P} > static window pad {window}"
         # block lists: source keyframe and pose per block
         blk_k = np.concatenate([np.arange(t0, t0 + window), ii])
         blk_p = np.concatenate([np.arange(t0, t0 + window), jj])
@@ -531,6 +539,44 @@ class BAProblem(NamedTuple):
     pairs: SchurPairs
 
 
+
+def _assemble_pose_system(blocks, ii_r, jj_r, P: int, t0, t1, dtype):
+    """Scatter the per-edge 6x6 blocks into the dense windowed pose system.
+
+    Shared by ba_iteration (block-sparse Schur) and ba_iteration_dense_window.
+    Rows past the live window [0, t1-t0) get identity so the damped solve
+    returns zeros there. Returns (Hm [P6,P6], v [P,6], live [P], live6 [P6]).
+    """
+    H = (
+        _scatter_mat(blocks.Hii, ii_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hij, ii_r, jj_r, P, P)
+        + _scatter_mat(blocks.Hji, jj_r, ii_r, P, P)
+        + _scatter_mat(blocks.Hjj, jj_r, jj_r, P, P)
+    )
+    v = _scatter_vec(blocks.vi, ii_r, P) + _scatter_vec(blocks.vj, jj_r, P)
+    live = (jnp.arange(P) < (t1 - t0)).astype(dtype)
+    live6 = jnp.repeat(live, 6)
+    Hm = H.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    Hm = Hm * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
+    return Hm, v * live[:, None], live, live6
+
+
+def _damped_pose_solve(Hm, rhs, live, live6, P: int, lm, ep):
+    """((1+lm)·diag + ep)-damped Cholesky solve of the live pose system
+    (droid.cpp:559-579's damping), masked to live rows. rhs: [P*6]."""
+    eye = jnp.eye(P * 6, dtype=Hm.dtype)
+    Hd = Hm + (ep + lm * Hm) * eye * live6[:, None]
+    return cholesky_solve(Hd, rhs.reshape(P * 6, 1)).reshape(P, 6) * live[:, None]
+
+
+def _retract_window(poses, dx, t0, P: int):
+    """Apply the window update dx [P, 6] to poses [F, 7] at offset t0."""
+    F = poses.shape[0]
+    dposes = jnp.zeros((F + P, 6), poses.dtype)
+    dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
+    return lie.retr(poses, dposes)
+
+
 def ba_iteration(
     poses: Array,
     disps: Array,
@@ -552,7 +598,6 @@ def ba_iteration(
     F = poses.shape[0]
     ht, wd = disps.shape[-2:]
     hw = ht * wd
-    N = prob.ii.shape[0]
     t0, t1 = prob.t0, prob.t1
     P = window
 
@@ -572,37 +617,21 @@ def ba_iteration(
     # ---- pose Hessian over the window (relative indices, padded to P) ----
     ii_r = prob.ii - t0
     jj_r = prob.jj - t0
-    H = (
-        _scatter_mat(blocks.Hii, ii_r, ii_r, P, P)
-        + _scatter_mat(blocks.Hij, ii_r, jj_r, P, P)
-        + _scatter_mat(blocks.Hji, jj_r, ii_r, P, P)
-        + _scatter_mat(blocks.Hjj, jj_r, jj_r, P, P)
+    Hm, v, live, live6 = _assemble_pose_system(
+        blocks, ii_r, jj_r, P, t0, t1, poses.dtype
     )
-    v = _scatter_vec(blocks.vi, ii_r, P) + _scatter_vec(blocks.vj, jj_r, P)
-
-    # rows past the live window get identity (solve returns 0 there)
-    row = jnp.arange(P)
-    live = (row < (t1 - t0)).astype(poses.dtype)
-    Hm = H.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
-    live6 = jnp.repeat(live, 6)
-    Hm = Hm * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
-    v = v * live[:, None]
 
     if motion_only:
-        eye = jnp.eye(P * 6, dtype=Hm.dtype)
-        Hd = Hm + (ep + lm * Hm) * eye * live6[:, None]
-        dx = cholesky_solve(Hd, v.reshape(P * 6, 1)).reshape(P, 6) * live[:, None]
-        dposes = jnp.zeros((F + P, 6), poses.dtype)
-        dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
-        return lie.retr(poses, dposes), disps
+        dx = _damped_pose_solve(Hm, v, live, live6, P, lm, ep)
+        return _retract_window(poses, dx, t0, P), disps
 
     # ---- depth system over all frames (full-frame static shape) ----
     in_window = (jnp.arange(F) >= t0) & (jnp.arange(F) < t1)
-    touched = (
-        jnp.zeros(F, jnp.int32)
-        .at[prob.ii]
-        .max(prob.edge_valid.astype(jnp.int32), mode="drop")
-        > 0
+    # "any edge touches this frame" as a compare-reduce, not a scatter
+    # (scatters lower to sequential dynamic-update-slices on TPU)
+    touched = jnp.any(
+        (prob.ii[None, :] == jnp.arange(F)[:, None]) & prob.edge_valid[None, :],
+        axis=1,
     )
     in_kx = in_window | touched  # frames whose depths are updated (kx)
 
@@ -626,7 +655,7 @@ def ba_iteration(
     blk_k = jnp.concatenate([t0 + jnp.arange(P), prob.ii])
     blk_p = jnp.concatenate([t0 + jnp.arange(P), prob.jj])
     blk_ok = (
-        jnp.concatenate([row < (t1 - t0), prob.edge_valid])
+        jnp.concatenate([jnp.arange(P) < (t1 - t0), prob.edge_valid])
         & (blk_p >= t0)
         & (blk_p < t1)
     )
@@ -719,40 +748,24 @@ def ba_iteration_dense_window(
 
     ii_r = ii - t0
     jj_r = jj - t0
-    H = (
-        _scatter_mat(blocks.Hii, ii_r, ii_r, Pw, Pw)
-        + _scatter_mat(blocks.Hij, ii_r, jj_r, Pw, Pw)
-        + _scatter_mat(blocks.Hji, jj_r, ii_r, Pw, Pw)
-        + _scatter_mat(blocks.Hjj, jj_r, jj_r, Pw, Pw)
+    Hm, v, live, live6 = _assemble_pose_system(
+        blocks, ii_r, jj_r, Pw, t0, t1, poses.dtype
     )
-    v = _scatter_vec(blocks.vi, ii_r, Pw) + _scatter_vec(blocks.vj, jj_r, Pw)
-
-    row = jnp.arange(Pw)
-    live = (row < (t1 - t0)).astype(poses.dtype)
-    live6 = jnp.repeat(live, 6)
-    Hm = H.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
-    Hm = Hm * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
-    v = v * live[:, None]
 
     if motion_only:
-        eye = jnp.eye(Pw * 6, dtype=Hm.dtype)
-        Hd = Hm + (ep + lm * Hm) * eye * live6[:, None]
-        dx = cholesky_solve(Hd, v.reshape(Pw * 6, 1)).reshape(Pw, 6) * live[:, None]
-        dposes = jnp.zeros((F + Pw, 6), poses.dtype)
-        dposes = jax.lax.dynamic_update_slice(dposes, dx, (t0, 0))[:F]
-        return lie.retr(poses, dposes), disps
+        dx = _damped_pose_solve(Hm, v, live, live6, Pw, lm, ep)
+        return _retract_window(poses, dx, t0, Pw), disps
 
     # ---- depth system over the kwin-frame window ----
     k_rel = ii - kf0  # [N], valid edges in [0, kwin)
     kframes = kf0 + jnp.arange(kwin)
     in_window = (kframes >= t0) & (kframes < t1) & (kframes < F)
-    touched = (
-        jax.ops.segment_sum(
-            edge_valid.astype(jnp.int32),
-            jnp.clip(k_rel, 0, kwin - 1),
-            num_segments=kwin,
-        )
-        > 0
+    # compare-reduce, not segment_sum (sequential dynamic-update-slices on
+    # TPU — this runs inside the fused track step's GN loop)
+    touched = jnp.any(
+        (jnp.clip(k_rel, 0, kwin - 1)[None, :] == jnp.arange(kwin)[:, None])
+        & edge_valid[None, :],
+        axis=1,
     )
     in_kx = in_window | (touched & (kframes < F))
 
@@ -780,9 +793,8 @@ def ba_iteration_dense_window(
     E = scatter_E(blocks.Ei.astype(sd), ii_r) + scatter_E(blocks.Ej.astype(sd), jj_r)
     E = E.reshape(kwin, Pw * 6, hw) * live6[None, :, None].astype(sd)
 
-    Es = E
     EQ = E * Q[:, None, :].astype(sd)
-    S = jnp.einsum("kux,kvx->uv", EQ, Es, preferred_element_type=jnp.float32)
+    S = jnp.einsum("kux,kvx->uv", EQ, E, preferred_element_type=jnp.float32)
     v_schur = jnp.einsum(
         "kux,kx->u", EQ, w_rhs.astype(sd), preferred_element_type=jnp.float32
     )
@@ -797,7 +809,7 @@ def ba_iteration_dense_window(
 
     dz = Q * (
         w_rhs
-        - jnp.einsum("kux,u->kx", Es, dx6.astype(sd), preferred_element_type=jnp.float32)
+        - jnp.einsum("kux,u->kx", E, dx6.astype(sd), preferred_element_type=jnp.float32)
     )
 
     dposes = jnp.zeros((F + Pw, 6), poses.dtype)
