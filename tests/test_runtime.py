@@ -149,5 +149,41 @@ def test_rgbd_depth_prior_seeds_disparity():
     assert np.all(np.isfinite(np.asarray(v.disps[: v.counter])))
 
 
+def test_init_graph_exceeds_max_factors():
+    """max_factors is the reference's eviction THRESHOLD, not a capacity:
+    remove=False appends past it (factor_graph.py:102-107), and the tum/euroc
+    initialization neighborhood (6*warmup - 12 edges) is larger than 48.
+    A store capped at max_factors silently dropped half the init graph."""
+    import dataclasses
+
+    from droid_slam_tpu.runtime.factor_graph import FactorGraph
+    from droid_slam_tpu.runtime.video import VideoState
+
+    config = dataclasses.replace(make_config(), warmup=12, max_factors=16)
+    v = VideoState(config)
+    v.counter = 12
+    graph = FactorGraph(
+        v, None, max_factors=config.max_factors, inactive_pad=16,
+        window_pad=16, schur_pair_floor=512,
+        edge_pad=6 * config.warmup - 12,
+    )
+    # tum-style init neighborhood: |i-j| <= 3 over 12 keyframes = 60 edges
+    ii, jj = [], []
+    for a in range(12):
+        for b in range(12):
+            if a != b and abs(a - b) <= 3:
+                ii.append(a)
+                jj.append(b)
+    assert len(ii) == 60
+    graph.add_factors(np.asarray(ii, np.int32), np.asarray(jj, np.int32))
+    assert graph.num_active == 60  # NOT truncated at max_factors=16
+
+    # remove=True evicts back down to the max_factors steady-state count
+    graph.add_factors(
+        np.asarray([0, 1], np.int32), np.asarray([5, 6], np.int32), remove=True
+    )
+    assert graph.num_active == graph.max_factors
+
+
 if __name__ == "__main__":
     pytest.main(["-x", __file__, "-q"])
