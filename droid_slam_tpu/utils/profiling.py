@@ -35,12 +35,10 @@ def device_trace(logdir: str) -> Iterator[None]:
     (jax.effects_barrier if hasattr(jax, "effects_barrier") else lambda: None)()
     with jax.profiler.trace(logdir):
         yield
-        # fence so async dispatches land inside the trace window
-        for d in jax.live_arrays():
-            pass
-        jax.block_until_ready(
-            jax.numpy.zeros(())
-        )
+        # stream fence: a trivial op enqueued after the traced work completes
+        # only once everything before it has, so async dispatches land inside
+        # the trace window
+        jax.block_until_ready(jax.numpy.zeros(()))
 
 
 class StageTimers:
