@@ -179,14 +179,7 @@ def main():
 
     if gt is not None:
         if args.dataset == "tartanair":
-            # pose_left.txt has NO timestamp column and is in NED: permute
-            # ned->xyz and associate BY INDEX, exactly like the reference
-            # (validate_tartanair.py:93-94)
-            raw = np.loadtxt(gt, delimiter=" ")[:, [1, 2, 0, 4, 5, 3, 6]]
-            ref = Trajectory(
-                np.arange(len(raw), dtype=np.float64),
-                raw[:, :3], raw[:, 3:],
-            )
+            ref = Trajectory.load_tartanair(gt)
         else:
             ref = Trajectory.load(gt)
     if ref is not None:

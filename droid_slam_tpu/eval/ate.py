@@ -38,6 +38,17 @@ class Trajectory:
         data = np.loadtxt(path, comments="#", dtype=np.float64)
         return Trajectory(data[:, 0], data[:, 1:4], data[:, 4:8])
 
+    @staticmethod
+    def load_tartanair(path: str) -> "Trajectory":
+        """TartanAir pose_left.txt: 7 columns (NED txyz + quat), NO
+        timestamp column. Permute ned->xyz and stamp with the row index,
+        exactly like the reference (validate_tartanair.py:93-94)."""
+        raw = np.loadtxt(path, delimiter=" ", dtype=np.float64)
+        raw = raw[:, [1, 2, 0, 4, 5, 3, 6]]
+        return Trajectory(
+            np.arange(len(raw), dtype=np.float64), raw[:, :3], raw[:, 3:]
+        )
+
     def save_tum(self, path: str):
         data = np.concatenate(
             [self.tstamps[:, None], self.positions, self.quats], axis=1

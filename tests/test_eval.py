@@ -129,6 +129,24 @@ def test_associate_by_timestamp():
     assert list(ib) == [0, 1]
 
 
+def test_load_tartanair_ned_permutation(tmp_path):
+    """pose_left.txt is NED with no timestamp column; the loader must apply
+    the reference's ned->xyz permutation and stamp rows by index
+    (validate_tartanair.py:93-94)."""
+    # NED row: tx_n ty_n tz_n qx_n qy_n qz_n qw
+    rows = np.array(
+        [[1.0, 2.0, 3.0, 0.1, 0.2, 0.3, 0.9],
+         [4.0, 5.0, 6.0, 0.4, 0.5, 0.6, 0.8]]
+    )
+    path = tmp_path / "pose_left.txt"
+    np.savetxt(str(path), rows, delimiter=" ")
+    traj = Trajectory.load_tartanair(str(path))
+    assert np.array_equal(traj.tstamps, [0.0, 1.0])
+    # xyz = (ned[1], ned[2], ned[0]); quat xyz likewise permuted, w kept
+    assert np.allclose(traj.positions[0], [2.0, 3.0, 1.0])
+    assert np.allclose(traj.quats[0], [0.2, 0.3, 0.1, 0.9])
+
+
 def test_associate_prefers_nearest_not_first():
     """Dense GT vs sparse estimates (the EuRoC shape: 200 Hz GT, 20 Hz est):
     each estimate must pair with its NEAREST GT sample, not with an earlier
