@@ -108,6 +108,8 @@ def _probe_tunnel():
 
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return  # flapping-relay escape: caller handles hangs with timeout
     # no JAX_PLATFORMS skip: the sitecustomize plugin blocks backend init in
     # its connect-retry loop even under an in-process JAX_PLATFORMS=cpu pin
     # (CLAUDE.md) — only unsetting PALLAS_AXON_POOL_IPS makes a run safe
