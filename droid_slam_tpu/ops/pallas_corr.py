@@ -45,7 +45,8 @@ gather path and fully fused — remains the production lookup.
 Round-2 re-test (2026-08-17, PALLAS_AXON_REMOTE_COMPILE=1): unchanged — a
 demo-scale `corr_level_pallas` compile (N=4, 1200 px, 30×40, r=3) did not
 return within a 900 s timeout (hang signature, no HTTP error this time).
-Re-test each round per CLAUDE.md.
+Re-tested again 2026-08-18 after the relay restart: identical 900 s hang on
+the same demo-scale compile. Re-test each round per CLAUDE.md.
 """
 
 from __future__ import annotations
