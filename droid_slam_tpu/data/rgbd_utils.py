@@ -22,37 +22,58 @@ def parse_list(filepath: str, skiprows: int = 0) -> np.ndarray:
     return np.loadtxt(filepath, delimiter=" ", dtype=np.str_, skiprows=skiprows)
 
 
-def associate_frames(tstamp_image, tstamp_depth, tstamp_pose, max_dt: float = 1.0):
-    """Pair images, depths, and poses by nearest timestamp
-    (rgbd_utils.py:16-33)."""
-    associations = []
-    for i, t in enumerate(tstamp_image):
-        j = int(np.argmin(np.abs(tstamp_depth - t)))
-        if tstamp_pose is None:
-            if np.abs(tstamp_depth[j] - t) < max_dt:
-                associations.append((i, j))
-        else:
-            k = int(np.argmin(np.abs(tstamp_pose - t)))
-            if (np.abs(tstamp_depth[j] - t) < max_dt) and (
-                np.abs(tstamp_pose[k] - t) < max_dt
-            ):
-                associations.append((i, j, k))
-    return associations
+def _nearest(ts: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Index into ``table`` of the nearest timestamp for every entry of
+    ``ts`` — one [len(ts), len(table)] broadcast instead of a per-frame
+    scan (TUM sequences are a few thousand stamps; the matrix is tiny)."""
+    return np.argmin(np.abs(ts[:, None] - table[None, :]), axis=1)
+
+
+def associate_frames(tstamp_image, tstamp_depth, tstamp_pose=None,
+                     max_dt: float = 1.0):
+    """Match every image stamp to its nearest depth (and pose) stamp,
+    keeping frames where all matches land within ``max_dt`` seconds.
+    TUM-association semantics (format spec; reference rgbd_utils.py:16-33),
+    expressed as vectorised nearest-neighbor queries. Returns an (i, j[, k])
+    tuple list over (image, depth[, pose]) row indices."""
+    t = np.asarray(tstamp_image, np.float64)
+    td = np.asarray(tstamp_depth, np.float64)
+    j = _nearest(t, td)
+    ok = np.abs(td[j] - t) < max_dt
+    cols = [np.arange(len(t)), j]
+    if tstamp_pose is not None:
+        tp = np.asarray(tstamp_pose, np.float64)
+        k = _nearest(t, tp)
+        ok &= np.abs(tp[k] - t) < max_dt
+        cols.append(k)
+    keep = np.flatnonzero(ok)
+    return [tuple(int(c[i]) for c in cols) for i in keep]
 
 
 def loadtum(datapath: str, frame_rate: int = -1):
-    """Read a TUM-RGBD-format sequence (rgbd_utils.py:36-91), subsampled ×5."""
-    if osp.isfile(osp.join(datapath, "groundtruth.txt")):
-        pose_list = osp.join(datapath, "groundtruth.txt")
-    elif osp.isfile(osp.join(datapath, "pose.txt")):
-        pose_list = osp.join(datapath, "pose.txt")
-    else:
+    """Read a TUM-RGBD-format sequence (format per reference
+    rgbd_utils.py:36-91), associated by timestamp and subsampled ×5.
+
+    Returns (image_paths, depth_paths, poses[t,q], intrinsics, tstamps)."""
+    pose_file = next(
+        (p for p in ("groundtruth.txt", "pose.txt")
+         if osp.isfile(osp.join(datapath, p))),
+        None,
+    )
+    if pose_file is None:
         return None, None, None, None, None
 
     image_data = parse_list(osp.join(datapath, "rgb.txt"))
     depth_data = parse_list(osp.join(datapath, "depth.txt"))
-    pose_data = parse_list(pose_list, skiprows=1)
-    pose_vecs = pose_data[:, 1:].astype(np.float64)
+    pose_data = parse_list(osp.join(datapath, pose_file), skiprows=1)
+
+    pairs = associate_frames(
+        image_data[:, 0].astype(np.float64),
+        depth_data[:, 0].astype(np.float64),
+        pose_data[:, 0].astype(np.float64),
+    )
+    sel = np.asarray(pairs[::5], np.int64).reshape(-1, 3)
+    i, j, k = sel.T
 
     calib_path = osp.join(datapath, "calibration.txt")
     intrinsic = (
@@ -61,23 +82,11 @@ def loadtum(datapath: str, frame_rate: int = -1):
         else None
     )
 
-    tstamp_image = image_data[:, 0].astype(np.float64)
-    tstamp_depth = depth_data[:, 0].astype(np.float64)
-    tstamp_pose = pose_data[:, 0].astype(np.float64)
-    associations = associate_frames(tstamp_image, tstamp_depth, tstamp_pose)
-
-    indices = range(len(associations))[::5]
-
-    images, depths, poses, intrinsics, tstamps = [], [], [], [], []
-    for ix in indices:
-        (i, j, k) = associations[ix]
-        images.append(osp.join(datapath, image_data[i, 1]))
-        depths.append(osp.join(datapath, depth_data[j, 1]))
-        poses.append(pose_vecs[k])
-        tstamps.append(tstamp_image[i])
-        if intrinsic is not None:
-            intrinsics.append(intrinsic)
-
+    images = [osp.join(datapath, p) for p in image_data[i, 1]]
+    depths = [osp.join(datapath, p) for p in depth_data[j, 1]]
+    poses = list(pose_data[k, 1:].astype(np.float64))
+    tstamps = list(image_data[i, 0].astype(np.float64))
+    intrinsics = [] if intrinsic is None else [intrinsic] * len(images)
     return images, depths, poses, intrinsics, tstamps
 
 

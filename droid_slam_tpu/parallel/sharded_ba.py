@@ -13,14 +13,16 @@ factor graph is sharded over a `jax.sharding.Mesh` axis:
     the O(N·HW) heavy work scales linearly with devices,
   * the pose Hessian H, rhs v, and the Schur complement S = E Q Eᵀ are
     computed as shard-local partial sums and combined with ONE `psum` of the
-    small [P·6, P·6] pose system over ICI,
-  * the damped Cholesky solve is replicated (it is tiny), and the depth
-    back-substitution dz = Q (w − Eᵀ dx) is again shard-local.
+    pre-combined damped-GN system (H − S, v − v_schur) over ICI,
+  * the damped Cholesky solve is replicated (it is tiny), the depth
+    back-substitution dz = Q (w − Eᵀ dx) is shard-local, and the owned dz
+    slices are assembled with a tiled `all_gather`.
 
-Communication per GN iteration: one psum of P·6·(P·6+1) floats — for P = 512
-that is ~38 MB, far below ICI bandwidth; everything that scales with HW stays
-local. This is the scaling-book recipe: shard the big axis, reduce the small
-one.
+Communication per GN iteration: one psum of P·6·(P·6+1) floats plus an
+all_gather of F·hw — for P = 512 that is ~38 MB + 2.5 MB, far below ICI
+bandwidth; everything that scales with N·HW stays local. (Measured tables:
+BASELINE.md §scaling; tools/scaling_analysis.py regenerates them.) This is
+the scaling-book recipe: shard the big axis, reduce the small one.
 """
 
 from __future__ import annotations
@@ -246,22 +248,22 @@ def build_sharded_ba(
         )
         v_schur = ba_ops._scatter_vec(v_blocks, blk_p - t0, Pw)
 
-        # ---- THE collective: reduce the small pose system over the mesh ----
-        H = jax.lax.psum(H, axis)
-        v = jax.lax.psum(v, axis)
-        S = jax.lax.psum(S, axis)
-        v_schur = jax.lax.psum(v_schur, axis)
+        # ---- THE collective: ONE psum of the combined damped-GN system.
+        # H and S enter the solve only as H − S (and v, v_schur as
+        # v − v_schur): combining BEFORE the reduction halves the bytes on
+        # the wire vs psumming the four partial sums separately.
+        A_blk = jax.lax.psum(H - S, axis)
+        rhs_v = jax.lax.psum(v - v_schur, axis)
 
         # ---- replicated damped solve ----
         row = jnp.arange(Pw)
         live = (row < (t1 - t0)).astype(poses.dtype)
         live6 = jnp.repeat(live, 6)
-        Hm = H.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
-        Sm = S.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
-        A = (Hm - Sm) * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
+        Am = A_blk.transpose(0, 2, 1, 3).reshape(Pw * 6, Pw * 6)
+        A = Am * live6[:, None] * live6[None, :] + jnp.diag(1.0 - live6)
         eye = jnp.eye(Pw * 6, dtype=A.dtype)
         Ad = A + (ep + lm * A) * eye * live6[:, None]
-        rhs = ((v - v_schur) * live[:, None]).reshape(Pw * 6, 1)
+        rhs = (rhs_v * live[:, None]).reshape(Pw * 6, 1)
         dx = ba_ops.cholesky_solve(Ad, rhs)
         dx = dx + ba_ops.cholesky_solve(Ad, rhs - jnp.matmul(Ad, dx))
         dx = dx.reshape(Pw, 6) * live[:, None]
@@ -274,10 +276,15 @@ def build_sharded_ba(
         w_corr_own = ba_ops._scatter_vec(w_corr, blk_k, fd)
         dz_own = Q * (w_rhs - w_corr_own)  # [fd, hw]
 
-        # disjoint frame ownership → psum assembles the global dz exactly
-        dz = jnp.zeros((F + fd, hw), dz_own.dtype)
-        dz = jax.lax.dynamic_update_slice(dz, dz_own, (f0, 0))[:F]
-        dz = jax.lax.psum(dz, axis)
+        # disjoint contiguous frame ownership → a tiled all_gather assembles
+        # the global dz with (D−1)/D·F·hw on the wire, half the psum of the
+        # zero-padded [F, hw] array this used to be
+        dz_g = jax.lax.all_gather(dz_own, axis, tiled=True)  # [D·fd, hw]
+        total = n_shards * fd
+        if total >= F:
+            dz = dz_g[:F]
+        else:  # buffer frames past the owned ranges hold no edges: dz = 0
+            dz = jnp.pad(dz_g, ((0, F - total), (0, 0)))
 
         # ---- retractions (replicated) ----
         dposes = jnp.zeros((F + Pw, 6), poses.dtype)
@@ -286,7 +293,11 @@ def build_sharded_ba(
         # no per-iteration clamp: callers clamp once after all iterations,
         # matching ops.ba.ba_solve (depth_video.py:190-209)
         disps = disps + dz.reshape(F, h, w)
-        return poses[None], disps[None]
+        # every shard holds the identical post-collective result — returned
+        # as replicated (out_specs P()). Stacking on the shard axis and
+        # slicing [0] instead made XLA broadcast shard 0's outputs with an
+        # extra all-reduce of (poses, disps) per iteration (seen in HLO).
+        return poses, disps
 
     spec_e = P(axis)
     spec_r = P()  # replicated
@@ -298,17 +309,15 @@ def build_sharded_ba(
             spec_e, spec_e, spec_e, spec_e,  # pairs + f0
             spec_r, spec_r, spec_r, spec_r, spec_r, spec_r, spec_r,
         ),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def run(plan_arrays, poses, disps, intrinsics0, disps_sens, eta, t0, t1):
-        poses_s, disps_s = f(
+        return f(
             *plan_arrays, poses, disps, intrinsics0, disps_sens, eta, t0, t1
         )
-        # all shards return identical replicas stacked on the shard axis
-        return poses_s[0], disps_s[0]
 
     _BUILD_CACHE[key] = run
     return run

@@ -43,6 +43,12 @@ class DroidConfig:
     beta: float = 0.3  # frame-distance rotation/translation blend
 
     # --- static padding for the jitted kernels (TPU-only knobs) ---
+    # Compile cliffs: the backend pads its BA window to multiples of 32 and
+    # its edge store to powers of two, so a sequence length that crosses a
+    # new 32-keyframe boundary pays a fresh XLA compile on the first
+    # terminate (cold ~30 s vs warm ~3 s at demo scale; minutes over a
+    # remote-device tunnel). Set JAX_COMPILATION_CACHE_DIR so repeat runs at
+    # the same scale are warm.
     window_pad: int = 64  # max frontend BA window (t1 - t0), padded
     inactive_pad: int = 96  # capacity of the inactive-edge store
     schur_pair_floor: int = 4096  # min pad of the Schur pair list

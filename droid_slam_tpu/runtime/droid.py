@@ -123,7 +123,7 @@ class Droid:
         else:
             jax.block_until_ready(self.video.poses)
 
-    def _sync_fused_state(self):
+    def _sync_fused_state(self, view_only: bool = False):
         """One blocking read: materialise the fused device state into the
         host-driven VideoState for the backend / trajectory filler.
 
@@ -131,13 +131,18 @@ class Droid:
         the VideoState arrays in place, and an alias of the live fused state
         would be deleted by that donation — a second terminate (or the
         visualizer polling during one) would then read dead buffers
-        (INVALID_ARGUMENT from the runtime)."""
+        (INVALID_ARGUMENT from the runtime).
+
+        ``view_only`` copies just what the visualizer's point cloud needs
+        (poses/disps/images/tstamp/intrinsics) and skips fmaps/nets/inps —
+        hundreds of MB at 512-buffer scale that a refresh tick should not
+        tax tracking with."""
         import jax.numpy as jnp
 
         st = self._fused_state
         v = self.video
         v.counter = int(st.counter)
-        if v.counter >= st.poses.shape[0]:
+        if v.counter >= st.poses.shape[0] and not view_only:
             import warnings
 
             warnings.warn(
@@ -150,11 +155,12 @@ class Droid:
         v.images = jnp.copy(st.images)
         v.poses = jnp.copy(st.poses)
         v.disps = jnp.copy(st.disps)
-        v.disps_sens = jnp.copy(st.disps_sens)
         v.intrinsics = jnp.copy(st.intrinsics)
-        v.fmaps = jnp.copy(st.fmaps)
-        v.nets = jnp.copy(st.nets)
-        v.inps = jnp.copy(st.inps)
+        if not view_only:
+            v.disps_sens = jnp.copy(st.disps_sens)
+            v.fmaps = jnp.copy(st.fmaps)
+            v.nets = jnp.copy(st.nets)
+            v.inps = jnp.copy(st.inps)
         if self.config.upsample:
             v.disps_up = jnp.copy(st.disps_up)
         v.dirty[: v.counter] = True

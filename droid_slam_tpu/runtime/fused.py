@@ -64,6 +64,14 @@ class SLAMState(NamedTuple):
     fmaps: Array  # [B, rig, h, w, 128]
     nets: Array  # [B, h, w, 128]
     inps: Array  # [B, h, w, 128]
+    # float32 features of the LAST keyframe, feeding the motion-filter probe
+    # only: keyframe DECISIONS must not depend on the compute dtype (bf16
+    # changed keyframe sets on marginal sequences; the reference decides in
+    # f32, motion_filter.py:83), so the probe runs in f32 regardless of
+    # config.compute_dtype. ~1.5 MB — the full buffers stay compact.
+    pfmap: Array  # [rig, h, w, 128] f32
+    pnet: Array  # [h, w, 128] f32
+    pinp: Array  # [h, w, 128] f32
     counter: Array  # int32 scalar — keyframe count
     # frontend
     t1: Array  # int32 — frames tracked by the frontend
@@ -113,6 +121,9 @@ def init_state(config) -> SLAMState:
         # bf16 anyway, and f32 storage forced a convert pass per conv input
         nets=jnp.zeros((B, h, w, 128), cdt),
         inps=jnp.zeros((B, h, w, 128), cdt),
+        pfmap=jnp.zeros((rig, h, w, 128), f32),
+        pnet=jnp.zeros((h, w, 128), f32),
+        pinp=jnp.zeros((h, w, 128), f32),
         counter=jnp.int32(0),
         t1=jnp.int32(0),
         is_init=jnp.bool_(False),
@@ -436,18 +447,22 @@ def build_track_step(params, config):
     warmup = config.warmup
     beta = config.beta
 
-    def fnet(image):
-        out = model.apply(
+    # the motion-filter probe runs in f32 so keyframe decisions are
+    # dtype-invariant (matches the host engine's MotionFilter and the
+    # reference, motion_filter.py:83)
+    update_op32 = UpdateModule()
+
+    def fnet32(image):
+        return model.apply(
             params, normalize_images(image), method=lambda m, x: m.fnet(x)
         )
-        return out.astype(cdt)
 
-    def cnet(image):
+    def cnet32(image):
         ctx = model.apply(
             params, normalize_images(image[None]), method=lambda m, x: m.cnet(x)
         )[0].astype(jnp.float32)
         net, inp = jnp.split(ctx, 2, axis=-1)
-        return jnp.tanh(net).astype(cdt), jax.nn.relu(inp).astype(cdt)
+        return jnp.tanh(net), jax.nn.relu(inp)
 
     # ---------------- one operator iteration (factor_graph.py:199-251) -----
 
@@ -555,18 +570,18 @@ def build_track_step(params, config):
         disp_sens: Array,  # [h, w] inverse-depth prior (zeros if none)
     ) -> SLAMState:
         # ---- motion filter (motion_filter.py:45-93) ----
-        fmap = fnet(image.astype(jnp.float32))  # [rig, h, w, 128]
+        fmap32 = fnet32(image.astype(jnp.float32))  # [rig, h, w, 128] f32
+        fmap = fmap32.astype(cdt)
 
         def probe(_):
-            last = st.counter - 1
             coords0 = pops.coords_grid(h, w)[None]
             corr = corr_ops.corr_lookup_fused(
-                st.fmaps[last, 0][None], fmap[0][None], coords0
+                st.pfmap[0][None], fmap32[0][None], coords0
             )
-            _, delta, _ = update_op.apply(
+            _, delta, _ = update_op32.apply(
                 update_params,
-                st.nets[last][None],
-                st.inps[last][None],
+                st.pnet[None],
+                st.pinp[None],
                 corr,
                 jnp.zeros((1, h, w, 4), jnp.float32),
             )
@@ -584,7 +599,8 @@ def build_track_step(params, config):
         is_kf = ((st.counter == 0) | (delta > config.filter_thresh)) & has_room
 
         def do_append(st):
-            net, inp = cnet(image[0].astype(jnp.float32))
+            net32, inp32 = cnet32(image[0].astype(jnp.float32))
+            net, inp = net32.astype(cdt), inp32.astype(cdt)
             ix = st.counter
             first = ix == 0
             return st._replace(
@@ -607,6 +623,9 @@ def build_track_step(params, config):
                 fmaps=st.fmaps.at[ix].set(fmap),
                 nets=st.nets.at[ix].set(net),
                 inps=st.inps.at[ix].set(inp),
+                pfmap=fmap32,
+                pnet=net32,
+                pinp=inp32,
                 counter=ix + 1,
             )
 

@@ -42,6 +42,15 @@ def neighbourhood_graph(n: int, r: int) -> Tuple[np.ndarray, np.ndarray]:
     return ii[keep], jj[keep]
 
 
+def _adjacency(N: int, ii: np.ndarray, jj: np.ndarray) -> "OrderedDict":
+    """Edge arrays → per-source adjacency dict (every frame keyed, possibly
+    with an empty list — the trainer samples sources from the keys)."""
+    graph = OrderedDict((i, []) for i in range(N))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        graph[i].append(j)
+    return graph
+
+
 def build_frame_graph(
     poses_c2w: np.ndarray,  # [F, 7] camera-to-world (dataset convention)
     disps: np.ndarray,  # [F, H, W] full-res inverse depth
@@ -50,33 +59,28 @@ def build_frame_graph(
     thresh: float = 24.0,
     r: int = 2,
 ) -> "OrderedDict":
-    """Radius edges + greedy closest covisible pairs (graph_utils.py:37-68)."""
+    """Radius edges + the globally closest covisible pairs up to ``num``
+    edges total (semantics of reference graph_utils.py:37-68).
+
+    Without NMS, picking pairs one argmin at a time is just an ascending
+    sort of the candidate distances — so the selection is one vectorised
+    argsort instead of a greedy loop (argsort's first-index tie-break equals
+    repeated argmin's)."""
     N = len(poses_c2w)
     d = compute_distance_matrix_flow(
         poses_c2w, disps[:, 3::8, 3::8], intrinsics / 8.0
     )
 
-    count = 0
-    graph = OrderedDict()
-    for i in range(N):
-        graph[i] = []
-        d[i, i] = np.inf
-        for j in range(i - r, i + r + 1):
-            if 0 <= j < N and i != j:
-                graph[i].append(j)
-                d[i, j] = np.inf
-                count += 1
+    ii, jj = neighbourhood_graph(N, r)
+    d[ii, jj] = np.inf
+    np.fill_diagonal(d, np.inf)
 
-    while count < num:
-        ix = int(np.argmin(d))
-        i, j = ix // N, ix % N
-        if d[i, j] < thresh:
-            graph[i].append(j)
-            d[i, j] = np.inf
-            count += 1
-        else:
-            break
+    order = np.argsort(d, axis=None, kind="stable")[: max(num - len(ii), 0)]
+    picks = order[d.flat[order] < thresh]
 
+    graph = _adjacency(N, ii, jj)
+    for i, j in zip(*np.unravel_index(picks, d.shape)):
+        graph[int(i)].append(int(j))
     return graph
 
 
@@ -99,21 +103,16 @@ def build_frame_graph_v2(
         poses_c2w, disps[:, 3::8, 3::8], intrinsics / 8.0
     )
 
-    graph = OrderedDict()
-    for i in range(N):
-        graph[i] = []
-        d[i, i] = np.inf
-        for j in range(i - r, i + r + 1):
-            if 0 <= j < N and i != j:
-                graph[i].append(j)
-                d[i, j] = np.inf
+    ii, jj = neighbourhood_graph(N, r)
+    d[ii, jj] = np.inf
+    np.fill_diagonal(d, np.inf)
+    graph = _adjacency(N, ii, jj)
 
-    while True:
-        ix = int(np.argmin(d))
-        i, j = ix // N, ix % N
-        if not np.isfinite(d[i, j]) or d[i, j] >= thresh:
-            break
-        graph[i].append(j)
+    # NMS makes each pick depend on the previous suppressions, so selection
+    # stays a loop; each step is one argmin + a vectorised 3×3 mask write
+    while np.min(d) < thresh:
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        graph[int(i)].append(int(j))
         d[max(i - 1, 0) : i + 2, max(j - 1, 0) : j + 2] = np.inf
 
     return graph

@@ -63,6 +63,44 @@ def filtered_point_cloud(
     return points[masks], images[masks]
 
 
+# wireframe camera model: apex + image plane + an "up" tick
+# (reference visualization.py:14-25 CAM_POINTS/CAM_LINES)
+_CAM_POINTS = np.array(
+    [
+        [0, 0, 0],
+        [-1, -1, 1.5],
+        [1, -1, 1.5],
+        [1, 1, 1.5],
+        [-1, 1, 1.5],
+        [-0.5, 1, 1.5],
+        [0.5, 1, 1.5],
+        [0, 1.2, 1.5],
+    ],
+    np.float64,
+)
+_CAM_LINES = np.array(
+    [[1, 2], [2, 3], [3, 4], [4, 1], [1, 0], [0, 2], [3, 0], [0, 4], [5, 7], [7, 6]],
+    np.int32,
+)
+
+
+def camera_frusta(poses_w2c: np.ndarray, scale: float = 0.05):
+    """Wireframe frusta for all keyframe cameras (reference
+    visualization.py:38-45 create_camera_actor, one LineSet per camera;
+    here one batched (points, lines) pair for a single merged LineSet).
+
+    poses_w2c: [T, 7] world→camera (t, q_xyzw) as stored in the video.
+    Returns (points [T*8, 3] float64, lines [T*10, 2] int32).
+    """
+    T = len(poses_w2c)
+    mats = np.asarray(lie.to_matrix(lie.inv(jnp.asarray(poses_w2c, jnp.float32))))
+    local = scale * _CAM_POINTS  # [8, 3]
+    pts = mats[:, :3, :3] @ local.T + mats[:, :3, 3:4]  # [T, 3, 8]
+    pts = pts.transpose(0, 2, 1).reshape(T * 8, 3)
+    lines = (_CAM_LINES[None] + 8 * np.arange(T)[:, None, None]).reshape(-1, 2)
+    return pts, lines.astype(np.int32)
+
+
 def save_ply(path: str, points: np.ndarray, colors: Optional[np.ndarray] = None):
     """Minimal ASCII PLY writer (no external deps)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -130,6 +168,10 @@ class VisualizerThread:
             np.zeros((0, 3)),
             np.zeros((0, 3), np.uint8),
         )
+        self.latest_frusta: Tuple[np.ndarray, np.ndarray] = (
+            np.zeros((0, 3)),
+            np.zeros((0, 2), np.int32),
+        )
         self.updates = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(
@@ -141,28 +183,40 @@ class VisualizerThread:
         droid = self.droid
         video = droid.video
         if getattr(droid, "fused", False):
-            droid._sync_fused_state()
+            # view-only: the point cloud needs poses/disps/images only, not
+            # the hundreds of MB of fmaps/nets/inps a full sync copies
+            droid._sync_fused_state(view_only=True)
         if video.counter == 0 or not video.dirty[: video.counter].any():
             return False
         video.dirty[: video.counter] = False
         self.latest = filtered_point_cloud(video, self.filter_thresh)
+        self.latest_frusta = camera_frusta(np.asarray(video.poses[: video.counter]))
         self.updates += 1
         if self.sink is not None:
             self.sink(*self.latest)
         return True
 
-    def _run(self):
-        import time
+    def scale_filter(self, factor: float):
+        """Scale the consistency-filter threshold and force a redraw — the
+        reference's S (×2) / A (×0.5) interactive keys
+        (visualization.py:68-76, 151-152)."""
+        self.filter_thresh *= factor
+        video = self.droid.video
+        video.dirty[: video.counter] = True
 
-        vis = geom = None
+    def _run(self):
+        vis = geom = cams = None
         added = False
         if self.open_window:
             try:
                 import open3d as o3d
 
-                vis = o3d.visualization.Visualizer()
+                vis = o3d.visualization.VisualizerWithKeyCallback()
+                vis.register_key_callback(ord("S"), lambda v: self.scale_filter(2.0))
+                vis.register_key_callback(ord("A"), lambda v: self.scale_filter(0.5))
                 vis.create_window(height=540, width=960)
                 geom = o3d.geometry.PointCloud()
+                cams = o3d.geometry.LineSet()
             except Exception:
                 vis = None  # headless fallback: keep .latest/sink working
 
@@ -189,11 +243,17 @@ class VisualizerThread:
                     points, colors = self.latest
                     geom.points = o3d.utility.Vector3dVector(points)
                     geom.colors = o3d.utility.Vector3dVector(colors / 255.0)
+                    fpts, flines = self.latest_frusta
+                    cams.points = o3d.utility.Vector3dVector(fpts)
+                    cams.lines = o3d.utility.Vector2iVector(flines)
+                    cams.paint_uniform_color((1.0, 0.0, 0.0))
                     if not added:
                         vis.add_geometry(geom)
+                        vis.add_geometry(cams)
                         added = True
                     else:
                         vis.update_geometry(geom)
+                        vis.update_geometry(cams)
                 if not vis.poll_events():
                     break
                 vis.update_renderer()
@@ -216,6 +276,7 @@ class VisualizerThread:
             return
         video.dirty[: video.counter] = False
         self.latest = filtered_point_cloud(video, self.filter_thresh)
+        self.latest_frusta = camera_frusta(np.asarray(video.poses[: video.counter]))
         self.updates += 1
         if self.sink is not None:
             self.sink(*self.latest)

@@ -138,6 +138,55 @@ def test_pose_and_disp_agreement(results):
     assert dd < 1e-2, dd
 
 
+@pytest.mark.slow
+def test_trained_weights_with_culling_agree():
+    """The keyframe-CULL branch (fused.py rm_keyframe path vs the host
+    frontend's, reference droid_frontend.py:57-65) pinned equivalent with
+    TRAINED weights and a real keyframe_thresh: every frame is appended
+    (filter_thresh=-1) so the final tstamp set encodes exactly which
+    keyframes each engine culled."""
+    from droid_slam_tpu.data.synthetic import render_sequence
+
+    n_frames = 26
+    seq = render_sequence(
+        np.random.default_rng(7), n_frames=n_frames, image_size=(96, 128),
+        t_sigma=0.25, r_sigma=0.02,
+    )
+    config = DroidConfig(
+        image_size=(96, 128),
+        buffer=32,
+        warmup=8,
+        max_factors=48,
+        inactive_pad=64,
+        window_pad=32,
+        schur_pair_floor=1024,
+        filter_thresh=-1.0,  # append every frame -> culls are the decisions
+        keyframe_thresh=2.0,
+        frontend_window=16,
+        frontend_thresh=16.0,
+        compute_dtype="float32",
+    )
+
+    def run(fused):
+        d = Droid(config, weights="weights/droid_synth.msgpack", fused=fused)
+        for t in range(n_frames):
+            d.track(t, jnp.asarray(seq["images"][t]),
+                    intrinsics=jnp.asarray(seq["intrinsics"][t]))
+        if fused:
+            d._sync_fused_state()
+        t = d.video.counter
+        return t, np.asarray(d.video.tstamp[:t]), np.asarray(d.video.poses[:t])
+
+    tf, tsf, pf = run(True)
+    th, tsh, ph = run(False)
+    # the cull branch must actually run: with every frame appended and a
+    # real threshold, some keyframes get removed
+    assert tf < n_frames, "no cull happened — test lost its teeth"
+    assert tf == th
+    np.testing.assert_array_equal(tsf, tsh)
+    assert np.abs(pf - ph).max() < 5e-3
+
+
 def test_stereo_edge_sets_agree():
     """Stereo rig: self-edges and rig-aware correlation indexing must agree."""
     config = dataclasses.replace(make_config(), stereo=True, buffer=16)

@@ -170,6 +170,205 @@ print("BACKEND_MESH_OK")
 """
 
 
+CHILD_MP = r"""
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax
+# CPU cross-process collectives need an explicit backend (default 'none'
+# raises); gloo ships in jaxlib — the genuine analogue of the reference's
+# NCCL process group (train.py:28-36)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+from droid_slam_tpu.models.droid_net import init_params
+from droid_slam_tpu.ops import ba as ba_ops
+from droid_slam_tpu.ops import lie
+from droid_slam_tpu.ops import projective as pops
+from droid_slam_tpu.parallel.sharded_ba import (
+    ShardedBAPlan, build_sharded_ba, place_plan,
+)
+from droid_slam_tpu.train.trainer import (
+    TrainConfig, init_state, make_initial_batch, make_train_step,
+    replicate_for_mesh, shard_batch_for_mesh,
+)
+
+# Rendezvous via the coordination service with a GENEROUS timeout: gloo's
+# communicator-creation rendezvous is hard-capped at 30 s, and on a
+# single-core box asymmetric compile-cache hits skew the two processes by
+# minutes. So: AOT-compile every cross-process program locally, then barrier
+# here, then execute — execution skew is milliseconds.
+def barrier(name):
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(name, timeout_in_ms=1_500_000)
+
+
+# ---- gradient all-reduce equality: 2-process DP step == local step --------
+cfg = TrainConfig(num_iters=1, n_frames=3, steps=10)
+params = init_params(jax.random.PRNGKey(0), image_size=(32, 32))
+gi, gj = [], []
+for a in range(3):
+    for b in range(3):
+        if a != b:
+            gi.append(a); gj.append(b)
+step = make_train_step(cfg, np.asarray(gi), np.asarray(gj))
+batch = make_initial_batch(np.random.default_rng(0), 8, 3, (32, 32))
+
+# local reference on this process's device 0 — no collectives involved
+state_ref, metrics_ref, _ = step(init_state(params, cfg), dict(batch))
+
+# distributed: batch sharded over all 2*nproc devices, params replicated;
+# XLA inserts the cross-process gradient all-reduce (gloo). grad_step is
+# the only program with a cross-process collective; apply is replicated.
+mesh = Mesh(np.array(jax.devices()), ("dp",))
+state_dp = replicate_for_mesh(init_state(params, cfg), mesh)
+batch_dp = shard_batch_for_mesh(batch, mesh)
+# enter the traced compile together (fresh per-run cache -> both processes
+# miss together -> symmetric compile durations; an asymmetric cache hit let
+# one process reach the 30 s gloo address exchange minutes early)
+barrier("dp_compile")
+step.grad.lower(state_dp["params"], batch_dp).compile()
+barrier("dp_exec")
+grads, metrics_dp, _ = step.grad(state_dp["params"], batch_dp)
+state_dp = step.apply(state_dp, grads)
+
+loss_err = abs(float(metrics_dp["loss"]) - float(metrics_ref["loss"]))
+perr = 0.0
+ref_leaves = jax.tree.leaves(state_ref["params"])
+dp_leaves = jax.tree.leaves(state_dp["params"])
+for a, b in zip(ref_leaves, dp_leaves):
+    perr = max(perr, float(jnp.max(jnp.abs(a - b))))
+print(pid, "MP_LOSS_ERR", loss_err, flush=True)
+print(pid, "MP_PARAM_ERR", perr, flush=True)
+assert loss_err < 1e-4, loss_err
+assert perr < 5e-4, perr
+print(pid, "MP_DP_TRAIN_OK", flush=True)
+
+# ---- psum equality: sharded BA on the 2-process mesh == local oracle ------
+rng = np.random.default_rng(7)
+F, ht, wd = 16, 6, 8
+poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
+poses = np.asarray(lie.retr(jnp.asarray(poses),
+                            jnp.asarray(0.02 * rng.standard_normal((F, 6)).astype(np.float32))))
+disps = (0.5 + rng.random((F, ht, wd))).astype(np.float32)
+intr = np.array([8.0, 8.0, wd / 2, ht / 2], np.float32)
+eii, ejj = [], []
+for a in range(F):
+    for b in range(F):
+        if a != b and abs(a - b) <= 2:
+            eii.append(a); ejj.append(b)
+eii = np.asarray(eii, np.int32); ejj = np.asarray(ejj, np.int32)
+N = len(eii)
+target = np.asarray(pops.projective_transform(
+    jnp.asarray(poses), jnp.asarray(disps),
+    jnp.asarray(np.broadcast_to(intr, (F, 4))),
+    jnp.asarray(eii), jnp.asarray(ejj))[0]
+) + 0.05 * rng.standard_normal((N, ht, wd, 2)).astype(np.float32)
+weight = (0.4 + 0.6 * rng.random((N, ht, wd, 2))).astype(np.float32)
+eta = np.full((F, ht, wd), 0.01, np.float32)
+sens = np.zeros_like(disps)
+t0, t1 = 1, F
+window = t1 - t0
+
+pairs = ba_ops.SchurPairs.build(eii, ejj, np.ones(N, bool), t0, t1, window)
+prob = ba_ops.BAProblem(
+    target=jnp.asarray(target), weight=jnp.asarray(weight), eta=jnp.asarray(eta),
+    ii=jnp.asarray(eii), jj=jnp.asarray(ejj), edge_valid=jnp.ones(N, bool),
+    t0=jnp.asarray(t0, jnp.int32), t1=jnp.asarray(t1, jnp.int32), pairs=pairs,
+)
+p_ref, d_ref = ba_ops.ba_solve(
+    jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(intr), jnp.asarray(sens),
+    prob, window=window, iterations=1, lm=1e-5, ep=1e-2,
+)
+
+n_dev = 2 * nproc
+mesh_ba = Mesh(np.array(jax.devices()), ("ba",))
+plan = ShardedBAPlan.build(eii, ejj, np.ones(N, bool), n_dev, F, t0, t1)
+run = build_sharded_ba(mesh_ba, window, plan.frames_per_shard, lm=1e-5, ep=1e-2)
+ba_args = (
+    place_plan(mesh_ba, plan, jnp.asarray(target), jnp.asarray(weight)),
+    jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(intr),
+    jnp.asarray(sens), jnp.asarray(eta), jnp.int32(t0), jnp.int32(t1),
+)
+barrier("ba_compile")
+run.lower(*ba_args).compile()
+barrier("ba_exec")
+p_sh, d_sh = run(*ba_args)
+d_sh = jnp.clip(d_sh, 0.001, None)
+ba_perr = float(np.abs(np.asarray(p_sh) - np.asarray(p_ref)).max())
+ba_derr = float(np.abs(np.asarray(d_sh) - np.asarray(d_ref)).max())
+print(pid, "MP_BA_POSE_ERR", ba_perr, flush=True)
+print(pid, "MP_BA_DISP_ERR", ba_derr, flush=True)
+assert ba_perr < 1e-4, ba_perr
+assert ba_derr < 1e-4, ba_derr
+print(pid, "MP_SHARDED_BA_OK", flush=True)
+
+# skip jax.distributed.shutdown's exit barrier: on a single-core CI box the
+# compile-cache-warm process reaches exit minutes before the other and the
+# barrier DEADLINE_EXCEEDEDs, aborting a run whose collectives all succeeded
+# (every cross-process collective above has already completed by here —
+# a collective only returns once all participants ran it)
+sys.stdout.flush(); sys.stderr.flush()
+os._exit(0)
+"""
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed():
+    """2-process jax.distributed rendezvous on CPU (gloo): the DP train
+    step's cross-process gradient all-reduce and the sharded BA's psum must
+    reproduce the single-process results — the genuine analogue of the
+    reference's DDP/NCCL setup (/root/reference/train.py:28-36,184-186)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    import tempfile
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # fresh compile cache shared by BOTH children: a stale per-program entry
+    # (e.g. from a run killed mid-compile) makes one child compile in seconds
+    # while the other takes minutes — blowing gloo's 30 s rendezvous cap
+    env["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(prefix="mpcache_")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", "-c", CHILD_MP, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=cwd,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=1500)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+        assert "MP_DP_TRAIN_OK" in out, out + err
+        assert "MP_SHARDED_BA_OK" in out, out + err
+
+
 @pytest.mark.slow
 def test_sharded_ba_and_dp_training():
     env = dict(os.environ)

@@ -131,22 +131,85 @@ def test_live_visualizer_runs_during_tracking():
     assert len(clouds) == vis.updates
 
 
-def test_rgbd_depth_prior_seeds_disparity():
-    """RGB-D: the sensor depth prior must seed keyframe disparities
-    (depth_video.py:67-69 inversion + subsampling, alpha term in BA)."""
+def test_camera_frusta_and_filter_keys():
+    """Camera frusta geometry (reference visualization.py:14-45) and the
+    S/A filter-threshold keys (visualization.py:68-76, 151-152)."""
+    from droid_slam_tpu.utils.visualization import (
+        VisualizerThread,
+        camera_frusta,
+    )
+
+    # identity pose: apex at the origin, image-plane corners at z=1.5*scale
+    pts, lines = camera_frusta(
+        np.array([[0, 0, 0, 0, 0, 0, 1]], np.float32), scale=0.1
+    )
+    assert pts.shape == (8, 3) and lines.shape == (10, 2)
+    assert np.allclose(pts[0], 0.0, atol=1e-6)
+    assert np.allclose(pts[1:, 2], 0.15, atol=1e-6)
+
+    # w2c translation +1z => camera center (c2w) at -1z; lines offset per cam
+    pts2, lines2 = camera_frusta(
+        np.array([[0, 0, 0, 0, 0, 0, 1], [0, 0, 1, 0, 0, 0, 1]], np.float32),
+        scale=0.1,
+    )
+    assert np.allclose(pts2[8], [0, 0, -1], atol=1e-5)
+    assert (lines2[10:] == lines + 8).all()
+
+    # S/A keys scale the threshold and force a redraw via the dirty flags
+    d = Droid(make_config(), fused=True, visualize=False)
+    for (t, img, intr) in frame_stream(5):
+        d.track(t, img, intrinsics=intr)
+    vis = VisualizerThread(d, refresh_hz=20.0, open_window=False)
+    try:
+        import time
+
+        deadline = time.time() + 30.0
+        while vis.updates == 0 and time.time() < deadline:
+            time.sleep(0.1)
+        assert vis.updates > 0
+        assert vis.latest_frusta[0].shape[0] == 8 * d.video.counter
+        t0 = vis.filter_thresh
+        vis.scale_filter(2.0)
+        assert vis.filter_thresh == 2 * t0
+        assert d.video.dirty[: d.video.counter].all()
+        vis.scale_filter(0.5)
+        assert vis.filter_thresh == t0
+    finally:
+        vis.close()
+
+
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "hostloop"])
+def test_rgbd_depth_prior_seeds_disparity(fused):
+    """RGB-D end-to-end: the sensor depth prior must be stored inverted
+    (depth_video.py:67-69), activate the alpha term in BA (droid.cpp:766-770)
+    so tracked disparities are pulled toward the prior, and survive
+    terminate — in BOTH engines."""
     config = make_config()
-    d = Droid(config, fused=True)
+    d = Droid(config, fused=fused)
     depth_val = 2.0
-    for t in range(5):
+    stream = []
+    for t in range(6):
         img = jnp.asarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
         depth = jnp.full((64, 64), depth_val, jnp.float32)
         intr = jnp.asarray([64.0, 64.0, 32.0, 32.0], jnp.float32)
+        stream.append((t, img, intr))
         d.track(t, img, depth=depth, intrinsics=intr)
-    d._sync_fused_state()
+    if fused:
+        d._sync_fused_state()
     v = d.video
     sens = np.asarray(v.disps_sens[: v.counter])
     assert np.allclose(sens, 1.0 / depth_val, atol=1e-5)
-    assert np.all(np.isfinite(np.asarray(v.disps[: v.counter])))
+    disps = np.asarray(v.disps[: v.counter])
+    assert np.all(np.isfinite(disps))
+    # the alpha prior term dominates when flow confidence is uninformative
+    # (random weights): tracked disparities must sit near the prior, not at
+    # the 1.0 init value
+    assert np.abs(np.median(disps) - 1.0 / depth_val) < 0.2, np.median(disps)
+
+    traj = d.terminate(iter(stream))
+    assert traj.shape == (6, 7) and np.all(np.isfinite(traj))
+    disps = np.asarray(v.disps[: v.counter])
+    assert np.abs(np.median(disps) - 1.0 / depth_val) < 0.2, np.median(disps)
 
 
 def test_init_graph_exceeds_max_factors():

@@ -82,3 +82,31 @@ def test_eth3d_stream_indices_and_lazy_depth(tmp_path, monkeypatch):
 
     times = streams.eth3d_times(str(d))
     assert times.dtype == np.float64 and abs(times[1] - 1000.1) < 1e-9
+
+
+def test_associate_frames_matches_scalar_oracle():
+    """Vectorised nearest-stamp association == the per-frame argmin loop
+    (reference rgbd_utils.py:16-33), with and without a pose table."""
+    from droid_slam_tpu.data.rgbd_utils import associate_frames
+
+    rng = np.random.default_rng(3)
+    ti = np.sort(rng.random(40)) * 10
+    td = np.sort(rng.random(37)) * 10
+    tp = np.sort(rng.random(55)) * 10
+    max_dt = 0.08
+
+    def oracle(tpose):
+        out = []
+        for i, t in enumerate(ti):
+            j = int(np.argmin(np.abs(td - t)))
+            if tpose is None:
+                if abs(td[j] - t) < max_dt:
+                    out.append((i, j))
+            else:
+                k = int(np.argmin(np.abs(tpose - t)))
+                if abs(td[j] - t) < max_dt and abs(tpose[k] - t) < max_dt:
+                    out.append((i, j, k))
+        return out
+
+    assert associate_frames(ti, td, tp, max_dt=max_dt) == oracle(tp)
+    assert associate_frames(ti, td, max_dt=max_dt) == oracle(None)

@@ -237,5 +237,55 @@ def test_build_frame_graph_v2_nms():
             if a != b:
                 assert max(abs(a[0] - b[0]), abs(a[1] - b[1])) > 1, (a, b)
 
+def test_build_frame_graph_matches_greedy_oracle():
+    """The v1 builder's one-shot argsort selection must equal the reference's
+    greedy repeated-argmin loop (graph_utils.py:37-68) on a random distance
+    matrix — both graph keys and per-source adjacency order."""
+    from collections import OrderedDict
+    from unittest import mock
+
+    from droid_slam_tpu.train import graph_utils
+
+    rng = np.random.default_rng(11)
+    N, num, thresh, r = 9, 22, 60.0, 2
+    dmat = (rng.random((N, N)) * 100).astype(np.float32)
+
+    def oracle(d):
+        d = d.copy()
+        count = 0
+        graph = OrderedDict()
+        for i in range(N):
+            graph[i] = []
+            d[i, i] = np.inf
+            for j in range(i - r, i + r + 1):
+                if 0 <= j < N and i != j:
+                    graph[i].append(j)
+                    d[i, j] = np.inf
+                    count += 1
+        while count < num:
+            ix = int(np.argmin(d))
+            i, j = ix // N, ix % N
+            if d[i, j] >= thresh:
+                break
+            graph[i].append(j)
+            d[i, j] = np.inf
+            count += 1
+        return graph
+
+    with mock.patch.object(
+        graph_utils, "compute_distance_matrix_flow",
+        lambda *a, **k: dmat.copy(),
+    ):
+        got = graph_utils.build_frame_graph(
+            np.zeros((N, 7)), np.ones((N, 24, 24)), np.ones((N, 4)),
+            num=num, thresh=thresh, r=r,
+        )
+    want = oracle(dmat)
+    assert {k: sorted(v) for k, v in got.items()} == \
+        {k: sorted(v) for k, v in want.items()}
+    # pick ORDER within a source matters for edge list layout parity too
+    assert got == want
+
+
 if __name__ == "__main__":
     pytest.main(["-x", __file__, "-q", "-m", "slow"])
