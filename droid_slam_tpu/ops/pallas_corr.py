@@ -140,6 +140,162 @@ def _corr_level_kernel(
     out_ref[0] = jnp.swapaxes(out, 0, 1).reshape(rd * rd, tp)
 
 
+# ---------------------------------------------------------------------------
+# Split formulation: two chained pallas_calls, ONE masked-selection stage each
+# ---------------------------------------------------------------------------
+# The Mosaic toolchain hangs on two chained selection stages in one kernel but
+# compiles each stage alone (module docstring). This variant sidesteps the
+# exact failing signature: kernel A does the correlation dot (VMEM-resident
+# volume) + a single-stage UNALIGNED row selection and stages the [P, Wp, TP]
+# slab through HBM; kernel B does a single-stage column selection + the
+# bilinear combine. Costs one slab round-trip of HBM traffic per level
+# (~2 MB/edge at demo scale) that the fused kernel avoids — wire in only if
+# the A/B bench wins (VERDICT r2 item 6).
+
+
+def _corr_slab_kernel(
+    f1_ref,  # [1, TP, C]
+    f2_ref,  # [1, H2*Wp, C]
+    coords_ref,  # [1, TP, 2]
+    slab_ref,  # [1, P, Wp, TP] out: row-selected slab
+    volpad_ref,  # VMEM scratch [Yp, Wp, TP]
+    *,
+    h2: int,
+    w2: int,
+    radius: int,
+):
+    rd = 2 * radius + 1
+    P = rd + 1
+    tp = f1_ref.shape[1]
+    wp = 8 * ((w2 + 7) // 8) + 16
+    yp = volpad_ref.shape[0]
+
+    f1 = f1_ref[0]
+    cy = coords_ref[0, :, 1] - radius
+    y0f = jnp.floor(jnp.clip(cy, -1000.0, 1000.0))
+    ys = y0f.astype(jnp.int32) + PAD  # [TP]
+
+    volpad_ref[:, :, :] = jnp.zeros_like(volpad_ref)
+    vol = jax.lax.dot_general(
+        f2_ref[0],
+        f1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H2*Wp, TP]
+    volpad_ref[PAD : PAD + h2, :, :] = vol.reshape(h2, wp, tp)
+
+    # single-stage row selection (unaligned shifted slices; compiles alone
+    # per the bisection). Starts outside [0, yp-P] match no one-hot -> 0,
+    # and starts whose real rows are all padding sum zeros — both identical
+    # to the fused kernel's semantics.
+    slab = jnp.zeros((P, wp, tp), jnp.float32)
+    for r in range(yp - P + 1):
+        m = (ys == r).astype(jnp.float32)[None, None, :]
+        slab = slab + m * volpad_ref[r : r + P, :, :]
+    slab_ref[0] = slab
+
+
+def _corr_window_kernel(
+    slab_ref,  # [1, P, Wp, TP]
+    coords_ref,  # [1, TP, 2]
+    out_ref,  # [1, RD*RD, TP]
+    *,
+    w2: int,
+    radius: int,
+):
+    rd = 2 * radius + 1
+    P = rd + 1
+    wp = slab_ref.shape[2]
+
+    cx = coords_ref[0, :, 0] - radius
+    cy = coords_ref[0, :, 1] - radius
+    x0f = jnp.floor(jnp.clip(cx, -1000.0, 1000.0))
+    y0f = jnp.floor(jnp.clip(cy, -1000.0, 1000.0))
+    dx = (cx - x0f).astype(jnp.float32)[None, None, :]
+    dy = (cy - y0f).astype(jnp.float32)[None, None, :]
+    xs = x0f.astype(jnp.int32) + PAD
+
+    slab = slab_ref[0]
+    patch = jnp.zeros((P, P, slab.shape[-1]), jnp.float32)
+    for v in range(wp - P + 1):
+        m = (xs == v).astype(jnp.float32)[None, None, :]
+        patch = patch + m * slab[:, v : v + P, :]
+
+    v00 = patch[:rd, :rd]
+    v01 = patch[1:, :rd]
+    v10 = patch[:rd, 1:]
+    v11 = patch[1:, 1:]
+    out = (
+        v00 * (1 - dx) * (1 - dy)
+        + v10 * dx * (1 - dy)
+        + v01 * (1 - dx) * dy
+        + v11 * dx * dy
+    )
+    out_ref[0] = jnp.swapaxes(out, 0, 1).reshape(rd * rd, slab.shape[-1])
+
+
+def corr_level_pallas_split(
+    f1flat: Array,
+    fmap2: Array,
+    coords: Array,
+    radius: int = 3,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Two-pallas_call variant of :func:`corr_level_pallas` (same contract)."""
+    n, p, c = f1flat.shape
+    h2, w2 = fmap2.shape[1:3]
+    rd = 2 * radius + 1
+    P = rd + 1
+    wp = 8 * ((w2 + 7) // 8) + 16
+    yp = 8 * ((h2 + 7) // 8) + 16
+
+    f2pad = jnp.pad(fmap2, ((0, 0), (0, 0), (PAD, wp - PAD - w2), (0, 0)))
+    f2pad = f2pad.reshape(n, h2 * wp, c)
+
+    tile = max(128, (tile // 128) * 128)
+    p_pad = -(-p // tile) * tile
+    if p_pad != p:
+        f1flat = jnp.pad(f1flat, ((0, 0), (0, p_pad - p), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, p_pad - p), (0, 0)))
+    grid = (n, p_pad // tile)
+
+    slab = pl.pallas_call(
+        functools.partial(_corr_slab_kernel, h2=h2, w2=w2, radius=radius),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h2 * wp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, wp, tile), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, P, wp, p_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((yp, wp, tile), jnp.float32)],
+        interpret=interpret,
+    )(f1flat, f2pad, coords)
+
+    out = pl.pallas_call(
+        functools.partial(_corr_window_kernel, w2=w2, radius=radius),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, wp, tile), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rd * rd, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, rd * rd, p_pad), jnp.float32),
+        interpret=interpret,
+    )(slab, coords)
+    return out[:, :, :p]
+
+
 def corr_level_pallas(
     f1flat: Array,  # [N, P, C] pre-scaled source features
     fmap2: Array,  # [N, H2, W2, C] pre-scaled target features
@@ -203,14 +359,18 @@ def corr_lookup_pallas(
     num_levels: int = 4,
     radius: int = 3,
     interpret: bool = False,
+    split: bool = False,
 ) -> Array:
     """Drop-in Pallas replacement for ``ops.corr.corr_lookup_fused``.
 
     fmap1/fmap2: [N, H, W, C]; coords: [N, H, W, 2] level-0 centers.
     Returns [N, H, W, L·(2r+1)²] float32, channel order (level, i, j).
+    ``split=True`` uses the two-pallas_call formulation (one selection stage
+    per kernel) that sidesteps the Mosaic two-stage hang.
     """
     from .corr import avg_pool2x2  # pooling of feature maps stays in XLA
 
+    level_fn = corr_level_pallas_split if split else corr_level_pallas
     n, h1, w1, c = fmap1.shape
     f1 = (fmap1 * 0.25).reshape(n, h1 * w1, c)
     f2 = fmap2 * 0.25
@@ -220,7 +380,7 @@ def corr_lookup_pallas(
         if i > 0:
             f2 = jnp.moveaxis(avg_pool2x2(jnp.moveaxis(f2, -1, 1)), 1, -1)
         out.append(
-            corr_level_pallas(
+            level_fn(
                 f1, f2, cflat / (2.0**i), radius=radius, interpret=interpret
             )
         )

@@ -70,5 +70,38 @@ def test_full_lookup_matches_xla_fused():
     assert float(jnp.abs(got - want).max()) < 5e-2  # |corr| ~ O(4) here
 
 
+def test_split_level_matches_fused_kernel():
+    """Two-pallas_call formulation == fused kernel, elementwise exact
+    (identical dot + identical selection semantics, only staged via HBM)."""
+    f1, f2, coords = _case()
+    fused = pc.corr_level_pallas(f1, f2, coords, interpret=True)
+    split = pc.corr_level_pallas_split(f1, f2, coords, interpret=True)
+    assert float(jnp.abs(fused - split).max()) == 0.0
+    ref = _ref_level(f1, f2, coords)
+    assert float(jnp.abs(ref - split).max()) < 1e-2
+
+
+def test_split_out_of_bounds_windows_zero():
+    f1, f2, _ = _case()
+    N, p = f1.shape[:2]
+    coords = jnp.full((N, p, 2), 1000.0, jnp.float32)
+    out = pc.corr_level_pallas_split(f1, f2, coords, interpret=True)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_split_full_lookup_matches_xla_fused():
+    N, h, w, C = 1, 8, 8, 16
+    f1 = jnp.asarray(rng.standard_normal((N, h, w, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((N, h, w, C)).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.random((N, h, w, 2)) * np.array([w, h])).astype(np.float32)
+    )
+    got = pc.corr_lookup_pallas(f1, f2, coords, interpret=True, split=True)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(corr_ops.corr_lookup_fused)(f1, f2, coords)
+    assert got.shape == want.shape
+    assert float(jnp.abs(got - want).max()) < 5e-2
+
+
 if __name__ == "__main__":
     pytest.main(["-x", __file__, "-q"])
