@@ -505,7 +505,9 @@ def _pair_products(
     if NP <= chunk:
         Ea = E_blocks[pairs.pair_a] * Qk[pairs.pair_a][:, None, :]
         Eb = E_blocks[pairs.pair_b]
-        S = jnp.einsum("nak,nbk->nab", Ea, Eb)
+        S = jnp.einsum(
+            "nak,nbk->nab", Ea, Eb, preferred_element_type=jnp.float32
+        )
         return S * pairs.pair_valid[:, None, None].astype(S.dtype)
 
     n_chunks = -(-NP // chunk)
@@ -518,7 +520,9 @@ def _pair_products(
         a, b, ok = args
         Ea = E_blocks[a] * Qk[a][:, None, :]
         Eb = E_blocks[b]
-        S = jnp.einsum("nak,nbk->nab", Ea, Eb)
+        S = jnp.einsum(
+            "nak,nbk->nab", Ea, Eb, preferred_element_type=jnp.float32
+        )
         return S * ok[:, None, None].astype(S.dtype)
 
     S = jax.lax.map(body, (pa, pb, pv))
@@ -588,12 +592,20 @@ def ba_iteration(
     ep: float = 0.1,
     alpha: float = 0.05,
     motion_only: bool = False,
+    schur_dtype: str = "float32",
 ) -> Tuple[Array, Array]:
     """One Gauss–Newton iteration of the SLAM-time BA (droid.cpp:743-795).
 
     poses [F,7], disps/disps_sens [F,H,W], intrinsics [4] (shared across
     frames, like droid.cpp's `intrinsics[0]`). `window` is the static padded
     size of the optimization window; the true window is [t0, t1).
+
+    ``schur_dtype``: storage dtype of the E blocks consumed by the Schur
+    pair products and back-substitution (same contract as
+    `ba_iteration_dense_window`: the contractions still accumulate in
+    float32). At backend scale the pair products gather ~2 copies of the
+    [P+N, 6, HW] E tensor per GN iteration — bfloat16 halves that HBM
+    traffic at the documented ~0.4% Schur perturbation.
     """
     F = poses.shape[0]
     ht, wd = disps.shape[-2:]
@@ -646,11 +658,14 @@ def ba_iteration(
 
     # ---- block-sparse Schur complement ----
     # E block rows: the window's accumulated Ei rows, then per-edge Ej rows.
+    sd = jnp.dtype(schur_dtype)
     Ei_acc = _scatter_vec(blocks.Ei, prob.ii, F)  # [F, 6, HW]
     # zero-pad so a window that sticks out past the buffer slices zeros
     Ei_pad = jnp.pad(Ei_acc, ((0, P), (0, 0), (0, 0)))
     Ei_win = jax.lax.dynamic_slice(Ei_pad, (t0, 0, 0), (P, 6, hw))
-    E_blocks = jnp.concatenate([Ei_win, blocks.Ej], axis=0)  # [P+N, 6, HW]
+    E_blocks = jnp.concatenate(
+        [Ei_win, blocks.Ej], axis=0
+    ).astype(sd)  # [P+N, 6, HW]
 
     blk_k = jnp.concatenate([t0 + jnp.arange(P), prob.ii])
     blk_p = jnp.concatenate([t0 + jnp.arange(P), prob.jj])
@@ -659,16 +674,21 @@ def ba_iteration(
         & (blk_p >= t0)
         & (blk_p < t1)
     )
-    Qk = Q[blk_k] * blk_ok[:, None].astype(Q.dtype)  # [P+N, HW]
+    Qk = (Q[blk_k] * blk_ok[:, None].astype(Q.dtype)).astype(sd)  # [P+N, HW]
 
-    S_pairs = _pair_products(E_blocks, Qk, prob.pairs)
+    S_pairs = _pair_products(E_blocks, Qk, prob.pairs)  # f32 accumulation
     pa_p = blk_p[prob.pairs.pair_a] - t0
     pb_p = blk_p[prob.pairs.pair_b] - t0
     S = _scatter_mat(S_pairs, pa_p, pb_p, P, P)
 
     # v −= E Q w per block, scattered to the block's pose row
     Qw = Q * w  # [F, HW]
-    v_blocks = jnp.einsum("nak,nk->na", E_blocks, Qw[blk_k] * blk_ok[:, None])
+    v_blocks = jnp.einsum(
+        "nak,nk->na",
+        E_blocks,
+        (Qw[blk_k] * blk_ok[:, None]).astype(sd),
+        preferred_element_type=jnp.float32,
+    )
     v = v - _scatter_vec(v_blocks, blk_p - t0, P)
 
     Sm = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
@@ -682,7 +702,12 @@ def ba_iteration(
 
     # ---- back-substitute depths: dz = Q (w − Eᵀ dx) ----
     dx_pose = dx[jnp.clip(blk_p - t0, 0, P - 1)] * blk_ok[:, None].astype(dx.dtype)
-    w_corr = jnp.einsum("nak,na->nk", E_blocks, dx_pose)  # [P+N, HW]
+    w_corr = jnp.einsum(
+        "nak,na->nk",
+        E_blocks,
+        dx_pose.astype(sd),
+        preferred_element_type=jnp.float32,
+    )  # [P+N, HW]
     w_corr_k = _scatter_vec(w_corr, blk_k, F)
     dz = Q * (w - w_corr_k)
 
@@ -825,7 +850,8 @@ def ba_iteration_dense_window(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "iterations", "motion_only")
+    jax.jit,
+    static_argnames=("window", "iterations", "motion_only", "schur_dtype"),
 )
 def ba_solve(
     poses: Array,
@@ -838,6 +864,7 @@ def ba_solve(
     lm: float = 1e-4,
     ep: float = 0.1,
     motion_only: bool = False,
+    schur_dtype: str = "float32",
 ) -> Tuple[Array, Array]:
     """Run `iterations` GN iterations and clamp disparities (depth_video.py:190-209)."""
 
@@ -845,7 +872,7 @@ def ba_solve(
         p, d = carry
         return ba_iteration(
             p, d, intrinsics, disps_sens, prob, window,
-            lm=lm, ep=ep, motion_only=motion_only,
+            lm=lm, ep=ep, motion_only=motion_only, schur_dtype=schur_dtype,
         )
 
     poses, disps = jax.lax.fori_loop(0, iterations, body, (poses, disps))

@@ -351,9 +351,15 @@ def _build_lowmem_step(
             64.0,
         )
 
-        # on-the-fly correlation over the (rig-flattened) keyframe features
+        # on-the-fly correlation over the (rig-flattened) keyframe features.
+        # In bf16 mode the correlation matmuls run in compute dtype — the
+        # same treatment the fused tracking engine gives its corr lookups
+        # (channel-heavy dot products are where bf16 pays off, CLAUDE.md);
+        # targets/weights fed to the BA stay float32 below.
         rig = fmaps.shape[1]
         flat_fmaps = fmaps.reshape(B * rig, h, w, 128)
+        if cdt is not None:
+            flat_fmaps = flat_fmaps.astype(cdt)
         alt = corr_ops.AltCorr.build(flat_fmaps)
         if stereo:
             c1 = rig * ii
@@ -415,7 +421,7 @@ def _build_lowmem_step(
             )
             poses, disps = ba_ops.ba_solve(
                 poses, disps, intrinsics[0], disps_sens, prob, window,
-                iterations=itrs, lm=lm, ep=ep_ba,
+                iterations=itrs, lm=lm, ep=ep_ba, schur_dtype=dtype,
             )
         # else: the caller hands target/weight/damping to the mesh-sharded
         # BA (parallel/sharded_ba.py) — poses/disps pass through

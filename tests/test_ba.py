@@ -238,6 +238,48 @@ def test_ba_padded_window_and_edges_match_exact():
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-5
 
 
+def test_ba_bf16_schur_tracks_f32():
+    """schur_dtype=bfloat16 (the backend's throughput mode) must stay a
+    small perturbation of the exact f32 solve — same contract the dense
+    window path documents (~0.4% on the Schur complement, absorbed by the
+    damped GN)."""
+    poses, disps, intr = make_scene(F=6)
+    F, ht, wd = disps.shape
+    ii, jj = edges_all_pairs(F)
+    N = len(ii)
+    t0, t1 = 1, 6
+    target = np.asarray(
+        pops.projective_transform(
+            jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(np.broadcast_to(intr, (F, 4))),
+            jnp.asarray(ii), jnp.asarray(jj))[0]
+    ) + 0.05 * rng.standard_normal((N, ht, wd, 2)).astype(np.float32)
+    weight = (0.3 + 0.7 * rng.random((N, ht, wd, 2))).astype(np.float32)
+    eta = np.full((F, ht, wd), 0.02, np.float32)
+    sens = np.zeros_like(disps)
+
+    pairs = ba.SchurPairs.build(ii, jj, np.ones(N, bool), t0, t1, window=t1 - t0)
+    prob = ba.BAProblem(
+        target=jnp.asarray(target), weight=jnp.asarray(weight), eta=jnp.asarray(eta),
+        ii=jnp.asarray(ii), jj=jnp.asarray(jj), edge_valid=jnp.ones(N, bool),
+        t0=jnp.asarray(t0, jnp.int32), t1=jnp.asarray(t1, jnp.int32), pairs=pairs,
+    )
+
+    def run(sd):
+        return ba.ba_solve(
+            jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(intr),
+            jnp.asarray(sens), prob, window=t1 - t0, iterations=2,
+            schur_dtype=sd,
+        )
+
+    p32, d32 = run("float32")
+    p16, d16 = run("bfloat16")
+    # pose updates are O(1e-2); bf16 Schur perturbs them at the % level
+    assert np.abs(np.asarray(p32) - np.asarray(p16)).max() < 5e-3
+    assert np.abs(np.asarray(d32) - np.asarray(d16)).max() < 2e-2
+    # and the bf16 run must still be a real update (not zeros)
+    assert np.abs(np.asarray(p16) - poses).max() > 1e-4
+
+
 def test_ba_convergence_recovers_scene():
     """Start from perturbed poses; BA on true-reprojection targets must
     drive the induced flow residual down by >10x."""
