@@ -68,9 +68,31 @@ def main():
     parser.add_argument("--restart_prob", type=float, default=0.2)
     parser.add_argument("--clip", type=float, default=2.5)
     parser.add_argument("--crop", type=int, nargs=2, default=[384, 512])
+    # multi-process data parallelism (the reference spawns one torch-DDP
+    # process per GPU with an NCCL rendezvous, train.py:28-36,184-186; here
+    # each process joins a jax.distributed coordination service and the SAME
+    # jitted step runs over the global mesh — XLA's all-reduce replaces NCCL)
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0; enables multi-process "
+                        "training when --num_processes > 1")
+    parser.add_argument("--num_processes", type=int, default=1)
+    parser.add_argument("--process_id", type=int, default=0)
     args = parser.parse_args()
 
     import jax
+
+    if args.num_processes > 1:
+        assert args.coordinator, "--coordinator required with --num_processes"
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # CPU cross-process collectives need an explicit backend
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    is_main = jax.process_index() == 0
+
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -81,6 +103,7 @@ def main():
     from ..train.graph_utils import build_frame_graph, graph_to_edge_list
     from ..train.trainer import (
         TrainConfig,
+        host_local_slice,
         init_state,
         make_train_step,
         replicate_for_mesh,
@@ -105,18 +128,27 @@ def main():
                 base_jj.append(j)
     n_edges = max(len(base_ii), args.edges + 4 * N)  # static pad
 
+    # each process samples DISTINCT data (its slice of the global batch);
+    # graph/restart decisions below use a SHARED seed so every process runs
+    # the same number of forward passes per optimizer step
+    assert args.batch % args.num_processes == 0, (args.batch, args.num_processes)
+    local_batch = args.batch // args.num_processes
     if args.synthetic:
         from ..data.synthetic import SyntheticDataset
 
-        db = SyntheticDataset(n_frames=N, image_size=tuple(args.crop))
-        print("dataset: procedural synthetic scenes")
+        db = SyntheticDataset(
+            n_frames=N, image_size=tuple(args.crop), seed=args.process_id
+        )
+        if is_main:
+            print("dataset: procedural synthetic scenes")
     else:
         assert args.datapath, "--datapath required unless --synthetic"
         db = TartanAir(
             datapath=args.datapath, n_frames=N, fmin=args.fmin, fmax=args.fmax,
-            crop_size=tuple(args.crop),
+            crop_size=tuple(args.crop), seed=args.process_id,
         )
-        print(f"dataset: {len(db)} clips")
+        if is_main:
+            print(f"dataset: {len(db)} clips")
 
     params = init_params(jax.random.PRNGKey(0))
     state = init_state(params, cfg)
@@ -131,13 +163,16 @@ def main():
     state = replicate_for_mesh(state, mesh)
     step_fn = make_train_step(cfg, np.asarray(base_ii), np.asarray(base_jj))
 
+    # SHARED seed: the randomized-graph and restart draws must agree across
+    # processes (the graph is replicated; a process that ran a different
+    # number of restart passes would deadlock the gradient all-reduce)
     rng = np.random.default_rng(12345)
     total_steps = int(jax.device_get(state["step"]))
     # seed the logger so a resumed run continues the TB curve instead of
     # overwriting it from step 0
-    logger = Logger(args.name, total_steps=total_steps)
+    logger = Logger(args.name, total_steps=total_steps) if is_main else None
 
-    for batch in db.clips(args.batch):
+    for batch in db.clips(local_batch):
         # poses: dataset convention c2w → w2c (train.py:86-88)
         Ps = np.asarray(lie.inv(jnp.asarray(batch["poses"])))
         Gs0 = Ps.copy()
@@ -187,8 +222,9 @@ def main():
                 grads if grads_sum is None
                 else jax.tree.map(jnp.add, grads_sum, grads)
             )
-            poses_re = np.asarray(out.poses[-1])
-            disps_re = np.asarray(out.disps_up[-1][:, :, 3::8, 3::8])
+            # multi-process: fetch/re-put only the rows this process owns
+            poses_re = host_local_slice(out.poses[-1])
+            disps_re = host_local_slice(out.disps_up[-1][:, :, 3::8, 3::8])
             if np.isfinite(poses_re).all() and np.isfinite(disps_re).all():
                 upd = shard_batch_for_mesh(
                     {"poses_init": poses_re,
@@ -198,17 +234,18 @@ def main():
         state = step_fn.apply(state, grads_sum)
 
         total_steps += 1
-        logger.push({k: float(v) for k, v in metrics.items()})
+        if is_main:
+            logger.push({k: float(v) for k, v in metrics.items()})
 
-        if total_steps % args.ckpt_every == 0:
-            path = f"checkpoints/{args.name}_{total_steps:06d}.msgpack"
-            os.makedirs("checkpoints", exist_ok=True)
-            checkpoints.save_params(path, jax.device_get(state["params"]))
-            print(f"saved {path}")
-        if args.state_every and total_steps % args.state_every == 0:
-            spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
-            checkpoints.save_train_state(spath, jax.device_get(state))
-            print(f"saved {spath}")
+            if total_steps % args.ckpt_every == 0:
+                path = f"checkpoints/{args.name}_{total_steps:06d}.msgpack"
+                os.makedirs("checkpoints", exist_ok=True)
+                checkpoints.save_params(path, jax.device_get(state["params"]))
+                print(f"saved {path}")
+            if args.state_every and total_steps % args.state_every == 0:
+                spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
+                checkpoints.save_train_state(spath, jax.device_get(state))
+                print(f"saved {spath}")
 
         if total_steps >= args.steps:
             break

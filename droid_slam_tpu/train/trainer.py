@@ -211,19 +211,52 @@ _REPLICATED_KEYS = {"ii", "jj", "edge_valid"}  # graph shared across the batch
 
 def shard_batch_for_mesh(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch on the mesh: per-sample arrays sharded over the
-    leading (batch) axis, the shared edge graph replicated."""
+    leading (batch) axis, the shared edge graph replicated.
+
+    Multi-process (``jax.process_count() > 1``, the DDP analogue of the
+    reference's per-GPU torch processes, train.py:28-36): ``batch`` holds the
+    PROCESS-LOCAL samples — each process contributes its slice of the global
+    batch axis — and the graph keys must be identical on every process."""
+
+    multiprocess = jax.process_count() > 1
 
     def put(key, x):
         if key in _REPLICATED_KEYS:
             spec = P()
         else:
             spec = P("dp", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        x = np.asarray(x)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(jnp.asarray(x), sharding)
 
     return {k: put(k, v) for k, v in batch.items()}
 
 
+def host_local_slice(arr: Array) -> np.ndarray:
+    """The process-local rows of a batch-axis-sharded global array (inverse
+    of :func:`shard_batch_for_mesh`); the full array when replicated or
+    single-process. Used by the host-side restart loop, which must not fetch
+    rows another process owns."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    first = shards[0].index[0]
+    if (first.start or 0) == 0 and first.stop in (None, arr.shape[0]):
+        return np.asarray(shards[0].data)  # replicated
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def replicate_for_mesh(tree, mesh: Mesh):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
-    )
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; build the global
+        # replicated array from the (identical) per-process copy instead
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

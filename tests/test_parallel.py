@@ -228,12 +228,20 @@ batch = make_initial_batch(np.random.default_rng(0), 8, 3, (32, 32))
 # local reference on this process's device 0 — no collectives involved
 state_ref, metrics_ref, _ = step(init_state(params, cfg), dict(batch))
 
-# distributed: batch sharded over all 2*nproc devices, params replicated;
-# XLA inserts the cross-process gradient all-reduce (gloo). grad_step is
-# the only program with a cross-process collective; apply is replicated.
+# distributed: each process contributes ITS slice of the global batch
+# (shard_batch_for_mesh's multi-process contract, the DDP data path of
+# apps/train.py) and params are replicated; XLA inserts the cross-process
+# gradient all-reduce (gloo). grad_step is the only program with a
+# cross-process collective; apply is replicated.
 mesh = Mesh(np.array(jax.devices()), ("dp",))
 state_dp = replicate_for_mesh(init_state(params, cfg), mesh)
-batch_dp = shard_batch_for_mesh(batch, mesh)
+per_proc = 8 // nproc
+local = {k: v[pid * per_proc:(pid + 1) * per_proc] for k, v in batch.items()}
+batch_dp = shard_batch_for_mesh(local, mesh)
+from droid_slam_tpu.train.trainer import host_local_slice
+np.testing.assert_array_equal(
+    host_local_slice(batch_dp["images"]), local["images"]
+)
 # enter the traced compile together (fresh per-run cache -> both processes
 # miss together -> symmetric compile durations; an asymmetric cache hit let
 # one process reach the 30 s gloo address exchange minutes early)

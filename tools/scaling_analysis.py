@@ -144,6 +144,13 @@ def analyze(t: int, n_dev_target: int, do_time: bool):
     compiled = lowered.compile()
     hlo = compiled.as_text()
     wire = collective_bytes_from_hlo(hlo)
+    if n_dev == 1:
+        # a 1-device mesh (the real-TPU timing run) compiles no collectives;
+        # use the closed forms, which reproduce the 8-device CPU HLO bytes
+        # exactly: one psum of the combined (H−S, v−v_schur) window system +
+        # one tiled all-gather of dz (sharded_ba.py design)
+        wire["all-reduce"] = (36 * window * window + 6 * window) * 4
+        wire["all-gather"] = window * prob["hw"] * 4
     cost = compiled.cost_analysis()
     flops = float(cost.get("flops", float("nan")))
 
