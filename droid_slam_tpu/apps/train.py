@@ -83,9 +83,10 @@ def main():
 
     if args.num_processes > 1:
         assert args.coordinator, "--coordinator required with --num_processes"
-        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-            # CPU cross-process collectives need an explicit backend
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        # CPU cross-process collectives need an explicit backend; the setting
+        # is ignored by non-CPU backends, so set it unconditionally rather
+        # than string-matching JAX_PLATFORMS (which may be unset or a list)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             args.coordinator,
             num_processes=args.num_processes,
@@ -178,8 +179,10 @@ def main():
         Gs0 = Ps.copy()
         Gs0[:, 1:] = Ps[:, 1:2]
 
-        # randomized graph (train.py:91-99)
-        if rng.random() < 0.5:
+        # randomized graph (train.py:91-99); the draw uses the SHARED rng so
+        # every process takes the same branch
+        randomized = rng.random() < 0.5
+        if randomized:
             graph = build_frame_graph(
                 batch["poses"][0], batch["disps"][0], batch["intrinsics"][0],
                 num=args.edges,
@@ -188,6 +191,18 @@ def main():
         else:
             gi, gj = np.asarray(base_ii), np.asarray(base_jj)
         ii_p, jj_p, valid = pad_graph(gi, gj, n_edges)
+        if args.num_processes > 1 and randomized:
+            # the covisibility graph above was built from PROCESS-LOCAL data
+            # (each process samples distinct clips), but shard_batch_for_mesh
+            # places the graph keys replicated — the replicas must be
+            # identical on every process, so adopt process 0's graph
+            from jax.experimental import multihost_utils
+
+            ii_p, jj_p, valid = (
+                np.asarray(a) for a in multihost_utils.broadcast_one_to_all(
+                    (ii_p, jj_p, valid)
+                )
+            )
 
         h, w = batch["images"].shape[2] // 8, batch["images"].shape[3] // 8
         train_batch = {
@@ -223,8 +238,11 @@ def main():
                 else jax.tree.map(jnp.add, grads_sum, grads)
             )
             # multi-process: fetch/re-put only the rows this process owns
-            poses_re = host_local_slice(out.poses[-1])
-            disps_re = host_local_slice(out.disps_up[-1][:, :, 3::8, 3::8])
+            # (local_rows guards against GSPMD replicating the output)
+            poses_re = host_local_slice(out.poses[-1], local_batch)
+            disps_re = host_local_slice(
+                out.disps_up[-1][:, :, 3::8, 3::8], local_batch
+            )
             if np.isfinite(poses_re).all() and np.isfinite(disps_re).all():
                 upd = shard_batch_for_mesh(
                     {"poses_init": poses_re,

@@ -47,6 +47,20 @@ demo-scale `corr_level_pallas` compile (N=4, 1200 px, 30×40, r=3) did not
 return within a 900 s timeout (hang signature, no HTTP error this time).
 Re-tested again 2026-08-18 after the relay restart: identical 900 s hang on
 the same demo-scale compile. Re-test each round per CLAUDE.md.
+
+Round-4 re-test (2026-08-20, tools/pallas_ab.py --n 48): the SPLIT
+two-`pallas_call` variant (`corr_level_pallas_split` — one masked-selection
+stage per kernel, built in r3 specifically to dodge the two-chained-stage
+signature) ALSO hangs the remote Mosaic compiler: the XLA baseline compiled
+and ran in 2.1 s, the split kernel's compile did not return within the 900 s
+cap (exit 124, no HTTP error). Since single stages compile in seconds in
+isolation (r1 bisection above) but a stage embedded in the full kernel body
+does not, the hang is NOT purely a function of chained selection stages —
+the helper chokes on the full kernel regardless of how the stages are
+partitioned across pallas_calls. VERDICT r3 item 2 is hereby closed as
+"toolchain-blocked, retested, recorded": the XLA one-hot formulation
+(`corr_lookup_fused`) is the production path, this module stays
+interpret-pinned as the design artifact for when the toolchain clears.
 """
 
 from __future__ import annotations

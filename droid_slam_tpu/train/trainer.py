@@ -234,17 +234,28 @@ def shard_batch_for_mesh(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return {k: put(k, v) for k, v in batch.items()}
 
 
-def host_local_slice(arr: Array) -> np.ndarray:
+def host_local_slice(arr: Array, local_rows: int | None = None) -> np.ndarray:
     """The process-local rows of a batch-axis-sharded global array (inverse
     of :func:`shard_batch_for_mesh`); the full array when replicated or
     single-process. Used by the host-side restart loop, which must not fetch
-    rows another process owns."""
+    rows another process owns.
+
+    ``local_rows``: the number of batch rows this process owns. Jitted
+    outputs carry whatever sharding GSPMD chose — if it replicated an output
+    (no out_shardings are pinned on grad_step), the addressable shard holds
+    the GLOBAL batch; passing ``local_rows`` recovers this process's slice
+    (processes contribute contiguous row blocks in process-index order, the
+    layout :func:`shard_batch_for_mesh` builds)."""
     if jax.process_count() == 1:
         return np.asarray(arr)
     shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
     first = shards[0].index[0]
     if (first.start or 0) == 0 and first.stop in (None, arr.shape[0]):
-        return np.asarray(shards[0].data)  # replicated
+        full = np.asarray(shards[0].data)  # replicated
+        if local_rows is not None and full.shape[0] != local_rows:
+            p = jax.process_index()
+            return full[p * local_rows:(p + 1) * local_rows]
+        return full
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

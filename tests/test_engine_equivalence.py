@@ -187,6 +187,57 @@ def test_trained_weights_with_culling_agree():
     assert np.abs(pf - ph).max() < 5e-3
 
 
+@pytest.mark.slow
+def test_keyframe_set_dtype_invariant():
+    """bf16 tracking must make the SAME keyframe decisions as f32.
+
+    The fused step runs its motion probe (mean-flow filter_thresh gate,
+    reference motion_filter.py:83) and its cull distance (keyframe_thresh,
+    droid_frontend.py:57-65) in f32 regardless of `compute_dtype`
+    (fused.py f32 probe fix) — otherwise bf16 rounding flips marginal
+    keyframe decisions and the throughput dtype silently changes the
+    trajectory protocol. Guards that fix: fused engine, trained weights,
+    real thresholds, bf16 vs f32 → identical keyframe timestamp sets."""
+    from droid_slam_tpu.data.synthetic import render_sequence
+
+    n_frames = 20
+    seq = render_sequence(
+        np.random.default_rng(11), n_frames=n_frames, image_size=(96, 128),
+        t_sigma=0.25, r_sigma=0.02,
+    )
+    base = DroidConfig(
+        image_size=(96, 128),
+        buffer=32,
+        warmup=8,
+        max_factors=48,
+        inactive_pad=64,
+        window_pad=32,
+        schur_pair_floor=1024,
+        filter_thresh=2.4,   # real motion gate: probe decisions exercised
+        keyframe_thresh=2.0,
+        frontend_window=16,
+        frontend_thresh=16.0,
+        compute_dtype="float32",
+    )
+
+    def run(dtype):
+        config = dataclasses.replace(base, compute_dtype=dtype)
+        d = Droid(config, weights="weights/droid_synth.msgpack", fused=True)
+        for t in range(n_frames):
+            d.track(t, jnp.asarray(seq["images"][t]),
+                    intrinsics=jnp.asarray(seq["intrinsics"][t]))
+        d._sync_fused_state()
+        t = d.video.counter
+        return t, np.asarray(d.video.tstamp[:t])
+
+    tf32, ts_f32 = run("float32")
+    tbf16, ts_bf16 = run("bfloat16")
+    # the gate must have real teeth: some frames skipped by the motion probe
+    assert tf32 < n_frames, "every frame keyframed — probe not exercised"
+    assert tbf16 == tf32
+    np.testing.assert_array_equal(ts_bf16, ts_f32)
+
+
 def test_stereo_edge_sets_agree():
     """Stereo rig: self-edges and rig-aware correlation indexing must agree."""
     config = dataclasses.replace(make_config(), stereo=True, buffer=16)

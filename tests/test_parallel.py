@@ -263,6 +263,24 @@ assert loss_err < 1e-4, loss_err
 assert perr < 5e-4, perr
 print(pid, "MP_DP_TRAIN_OK", flush=True)
 
+# ---- restart re-put round-trip on a REAL grad_step output -----------------
+# apps/train.py's restart loop fetches this process's rows from jitted
+# OUTPUTS (whatever sharding GSPMD chose — nothing pins out_shardings, so an
+# output may come back replicated) and re-puts them through
+# shard_batch_for_mesh; host_local_slice(arr, local_rows) must hand back
+# exactly this process's rows either way (advisor r3 finding)
+barrier("reput_exec")
+_, _, out_mp = step.grad(state_dp["params"], batch_dp)
+poses_re = host_local_slice(out_mp.poses[-1], per_proc)
+assert poses_re.shape[0] == per_proc, poses_re.shape
+upd = shard_batch_for_mesh({"poses_init": poses_re}, mesh)
+batch_dp2 = dict(batch_dp); batch_dp2["poses_init"] = upd["poses_init"]
+assert batch_dp2["poses_init"].shape == batch_dp["poses_init"].shape
+barrier("reput_exec2")
+_, metrics_re, _ = step.grad(state_dp["params"], batch_dp2)
+assert np.isfinite(float(metrics_re["loss"]))
+print(pid, "MP_REPUT_OK", flush=True)
+
 # ---- psum equality: sharded BA on the 2-process mesh == local oracle ------
 rng = np.random.default_rng(7)
 F, ht, wd = 16, 6, 8
@@ -374,6 +392,7 @@ def test_multiprocess_distributed():
     for rc, out, err in outs:
         assert rc == 0, out + err
         assert "MP_DP_TRAIN_OK" in out, out + err
+        assert "MP_REPUT_OK" in out, out + err
         assert "MP_SHARDED_BA_OK" in out, out + err
 
 

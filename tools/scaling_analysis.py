@@ -144,13 +144,27 @@ def analyze(t: int, n_dev_target: int, do_time: bool):
     compiled = lowered.compile()
     hlo = compiled.as_text()
     wire = collective_bytes_from_hlo(hlo)
+    # closed-form wire bytes of sharded_ba.py's collective layout: one psum
+    # of the combined (H−S, v−v_schur) window system + one tiled all-gather
+    # of dz. The multi-device path CROSS-CHECKS these against the compiled
+    # HLO so a layout change cannot silently stale the 1-device numbers.
+    closed = {
+        "all-reduce": (36 * window * window + 6 * window) * 4,
+        "all-gather": window * prob["hw"] * 4,
+    }
     if n_dev == 1:
         # a 1-device mesh (the real-TPU timing run) compiles no collectives;
-        # use the closed forms, which reproduce the 8-device CPU HLO bytes
-        # exactly: one psum of the combined (H−S, v−v_schur) window system +
-        # one tiled all-gather of dz (sharded_ba.py design)
-        wire["all-reduce"] = (36 * window * window + 6 * window) * 4
-        wire["all-gather"] = window * prob["hw"] * 4
+        # report the closed forms and say so
+        wire["all-reduce"] = closed["all-reduce"]
+        wire["all-gather"] = closed["all-gather"]
+        wire["analytic"] = True
+    else:
+        for k, v in closed.items():
+            if wire[k] != v:
+                print(f"WARNING: closed-form {k} bytes {v} != HLO {wire[k]} "
+                      f"at t={t} — sharded_ba.py's collective layout changed; "
+                      "update the closed forms (1-device --time runs report "
+                      "them)")
     cost = compiled.cost_analysis()
     flops = float(cost.get("flops", float("nan")))
 
@@ -159,6 +173,7 @@ def analyze(t: int, n_dev_target: int, do_time: bool):
         "n_dev": n_dev,
         "psum_bytes": wire["all-reduce"],
         "allgather_bytes": wire["all-gather"],
+        "wire_bytes_analytic": bool(wire.get("analytic", False)),
         "total_flops": flops,
         "flops_per_shard": flops / n_dev,
     }
