@@ -24,9 +24,15 @@ from scipy.spatial.transform import Rotation
 
 
 class _Plane:
-    """Textured plane n·p = c with an in-plane texture basis (u, v)."""
+    """Textured plane n·p = c with an in-plane texture basis (u, v).
 
-    def __init__(self, rng, n, c):
+    ``rich=True`` (training curriculum only — never the pinned eval
+    protocol) widens the texture distribution: variable component count,
+    a wider spatial-frequency range (low-frequency planes are nearly
+    textureless — the hard case for flow), and a global contrast scale.
+    """
+
+    def __init__(self, rng, n, c, rich: bool = False):
         self.n = np.asarray(n, np.float64)
         self.n /= np.linalg.norm(self.n)
         self.c = float(c)
@@ -42,6 +48,14 @@ class _Plane:
         self.freq_b = rng.uniform(0.7, 4.0, (3, 8))
         self.phase = rng.uniform(0, 2 * np.pi, (3, 8))
         self.amp = rng.uniform(0.5, 1.0, (3, 8))
+        if rich:
+            k = int(rng.integers(4, 13))
+            self.freq_a = rng.uniform(0.3, 8.0, (3, k))
+            self.freq_b = rng.uniform(0.3, 8.0, (3, k))
+            self.phase = rng.uniform(0, 2 * np.pi, (3, k))
+            # low-contrast planes (amp scale down to 0.35) force the matcher
+            # to lean on geometry, not texture saliency
+            self.amp = rng.uniform(0.3, 1.0, (3, k)) * rng.uniform(0.35, 1.0)
 
     def intersect(self, o, d):
         """Ray o + t·d. Returns t (np.inf where the ray misses)."""
@@ -57,7 +71,7 @@ class _Plane:
             v = sum(
                 self.amp[ch, k]
                 * np.sin(self.freq_a[ch, k] * x + self.freq_b[ch, k] * y + self.phase[ch, k])
-                for k in range(8)
+                for k in range(self.amp.shape[1])
             )
             chans.append(v)
         t = np.stack(chans, axis=-1)
@@ -71,8 +85,36 @@ class _Plane:
         return (255 * np.clip(t, 0.0, 1.0)).astype(np.uint8)
 
 
-def _make_world(rng) -> list:
-    """Tilted floor + back wall (+ optional side wall) in front of the origin."""
+def _make_world(rng, varied: bool = False) -> list:
+    """Tilted floor + back wall (+ optional side wall) in front of the origin.
+
+    ``varied=True`` (training curriculum): wider depth range, optional
+    ceiling/second side wall, 0-2 free-floating tilted planes, rich
+    textures — the in-environment stand-in for TartanAir's scene breadth
+    (/root/reference/train.py:147-171). The default is the PINNED eval
+    world: identical rng consumption, so seed:N eval scenes never change.
+    """
+    if varied:
+        planes = []
+        # back wall: wider depth range and tilt than the eval world
+        n = np.array([rng.normal(0, 0.3), rng.normal(0, 0.3), 1.0])
+        planes.append(_Plane(rng, n, rng.uniform(2.0, 4.5), rich=True))
+        if rng.random() < 0.9:  # floor (below camera, +y is image-down)
+            n = np.array([rng.normal(0, 0.2), 1.0, rng.normal(0, 0.3)])
+            planes.append(_Plane(rng, n, rng.uniform(0.7, 1.6), rich=True))
+        if rng.random() < 0.3:  # ceiling
+            n = np.array([rng.normal(0, 0.2), 1.0, rng.normal(0, 0.3)])
+            planes.append(_Plane(rng, n, -rng.uniform(0.8, 1.6), rich=True))
+        for s in (1.0, -1.0):  # side walls, either side independently
+            if rng.random() < 0.5:
+                n = np.array([s, rng.normal(0, 0.15), rng.normal(0, 0.3)])
+                planes.append(_Plane(rng, n, rng.uniform(1.6, 2.8), rich=True))
+        # free-floating tilted planes: depth discontinuities mid-view
+        for _ in range(int(rng.integers(0, 3))):
+            n = rng.normal(size=3)
+            n[2] = abs(n[2]) + 0.7  # face roughly toward the camera
+            planes.append(_Plane(rng, n, rng.uniform(1.2, 3.0), rich=True))
+        return planes
     planes = []
     # back wall: roughly z = Z0, slightly tilted
     n = np.array([rng.normal(0, 0.15), rng.normal(0, 0.15), 1.0])
@@ -86,17 +128,45 @@ def _make_world(rng) -> list:
     return planes
 
 
-def _smooth_trajectory(rng, n_frames: int, t_sigma: float, r_sigma: float):
-    """Smooth random-walk camera-to-world trajectory near the origin."""
+def _smooth_trajectory(rng, n_frames: int, t_sigma: float, r_sigma: float,
+                       varied: bool = False):
+    """Smooth random-walk camera-to-world trajectory near the origin.
+
+    ``varied=True`` adds motion MODES on top of the random walk —
+    forward-dominant dolly, rotation-heavy pans, and orbit arcs — the
+    trajectory regimes a generalizing tracker must survive (rotation-heavy
+    segments are where weak flow priors break; VERDICT r3 item 7)."""
+    mode = "walk"
+    if varied:
+        mode = ("walk", "forward", "rotation", "orbit")[int(rng.integers(4))]
+        if mode == "rotation":
+            t_sigma, r_sigma = 0.4 * t_sigma, 3.0 * r_sigma
     steps_t = t_sigma * rng.standard_normal((n_frames, 3))
     steps_t[:, 2] *= 0.5  # keep depth range stable
+    if mode == "forward":
+        steps_t[:, 2] += 0.6 * t_sigma  # dolly into the scene
     centers = np.cumsum(steps_t, axis=0)
     centers -= centers[0]
-    # never drift through the scene geometry (back wall at z >= 2.2)
+    # never drift through the scene geometry (back wall at z >= 2.2 in the
+    # eval world, >= 2.0 varied; side walls at |x| >= 1.6 varied)
     centers[:, 2] = np.clip(centers[:, 2], -0.8, 1.0)
+    if varied:
+        centers[:, 0] = np.clip(centers[:, 0], -1.2, 1.2)
+        centers[:, 1] = np.clip(centers[:, 1], -0.6, 0.6)
     steps_r = r_sigma * rng.standard_normal((n_frames, 3))
     rotvecs = np.cumsum(steps_r, axis=0)
     rotvecs -= rotvecs[0]
+    if mode == "orbit":
+        # constant yaw sweep with a matching lateral arc: the camera slides
+        # sideways while turning to keep the scene in view
+        yaw_rate = rng.choice([-1.0, 1.0]) * rng.uniform(0.01, 0.035)
+        yaw = yaw_rate * np.arange(n_frames)
+        rotvecs[:, 1] += yaw
+        radius = rng.uniform(1.5, 2.5)
+        centers[:, 0] += radius * np.sin(yaw)
+        centers[:, 2] += radius * (1.0 - np.cos(yaw))
+        centers[:, 0] = np.clip(centers[:, 0], -1.2, 1.2)
+        centers[:, 2] = np.clip(centers[:, 2], -0.8, 1.2)
     Rs = Rotation.from_rotvec(rotvecs).as_matrix()
     return centers, Rs
 
@@ -108,6 +178,7 @@ def render_sequence(
     t_sigma: float = 0.04,
     r_sigma: float = 0.01,
     focal: Optional[float] = None,
+    varied: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Render one sequence. Returns dict with
 
@@ -119,8 +190,9 @@ def render_sequence(
     cx, cy = W / 2, H / 2
     intr = np.array([f, f, cx, cy], np.float32)
 
-    planes = _make_world(rng)
-    centers, Rs = _smooth_trajectory(rng, n_frames, t_sigma, r_sigma)
+    planes = _make_world(rng, varied=varied)
+    centers, Rs = _smooth_trajectory(rng, n_frames, t_sigma, r_sigma,
+                                     varied=varied)
 
     u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
     d_cam = np.stack([(u - cx) / f, (v - cy) / f, np.ones_like(u)], axis=-1)
@@ -176,13 +248,18 @@ class SyntheticDataset:
 
     def __init__(
         self, n_frames: int = 7, image_size=(96, 128), seed: int = 0,
-        pool: int = 256,
+        pool: int = 256, varied_frac: float = 0.7,
     ):
         self.n_frames = n_frames
         self.image_size = image_size
         self.rng = np.random.default_rng(seed)
         self.pool_size = pool
         self._pool = None
+        # fraction of clips rendered with the VARIED curriculum (rich
+        # textures, extra planes, motion modes); the rest keep the basic
+        # eval-style worlds so the distribution the accuracy protocol
+        # samples stays in-support
+        self.varied_frac = varied_frac
 
     def _render(self):
         # per-sequence motion scale, log-uniform: inter-frame flow at the
@@ -196,6 +273,7 @@ class SyntheticDataset:
         return render_sequence(
             self.rng, self.n_frames, self.image_size,
             t_sigma=t_sigma, r_sigma=r_sigma,
+            varied=bool(self.rng.random() < self.varied_frac),
         )
 
     def clips(self, batch: int):
