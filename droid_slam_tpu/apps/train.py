@@ -169,6 +169,7 @@ def main():
     # number of restart passes would deadlock the gradient all-reduce)
     rng = np.random.default_rng(12345)
     total_steps = int(jax.device_get(state["step"]))
+    first_batch = True
     # seed the logger so a resumed run continues the TB curve instead of
     # overwriting it from step 0
     logger = Logger(args.name, total_steps=total_steps) if is_main else None
@@ -229,6 +230,21 @@ def main():
         # static keys (images etc.) transfer once; restart passes re-put
         # only the two initialisation arrays they update
         sharded = shard_batch_for_mesh(train_batch, mesh)
+        if args.num_processes > 1 and first_batch:
+            first_batch = False
+            # first batch of this session: AOT-compile the cross-process
+            # program, then rendezvous. gloo's collective send timeout is
+            # hard-capped (~30 min); without this, asymmetric compile
+            # durations (cache hit on one process, miss on the other —
+            # minutes per side on a loaded host) let one process sit in the
+            # all-reduce past the cap and kill the run
+            # (tests/test_parallel.py uses the same discipline)
+            step_fn.grad.lower(state["params"], sharded).compile()
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                "first_grad_compile", timeout_in_ms=3_600_000
+            )
         r = -1.0
         while r < args.restart_prob:
             r = rng.random()

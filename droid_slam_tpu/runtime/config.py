@@ -52,6 +52,8 @@ class DroidConfig:
     window_pad: int = 64  # max frontend BA window (t1 - t0), padded
     inactive_pad: int = 96  # capacity of the inactive-edge store
     schur_pair_floor: int = 4096  # min pad of the Schur pair list
+    backend_chunk: int = 256  # edges per update-op chunk in update_lowmem's
+    # lax.map loop (memory/speed trade; the loop is ~80% of a backend step)
 
     # --- misc ---
     # computation dtype of the network convolutions ("bfloat16" | "float32");

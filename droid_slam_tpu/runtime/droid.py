@@ -165,6 +165,52 @@ class Droid:
             v.disps_up = jnp.copy(st.disps_up)
         v.dirty[: v.counter] = True
 
+    def warm_terminate(self, expected_keyframes: Optional[int] = None) -> None:
+        """Precompile the terminate path for an expected keyframe count.
+
+        The backend's program shapes quantize on the keyframe count (edge
+        store = pow2ceil(16·t), BA window = 32-multiples, Schur pairs =
+        pow2 buckets), so the FIRST terminate of a session pays minutes of
+        compiles — or seconds of persistent-cache loads — over the axon
+        tunnel (measured 16-43 s; CLAUDE.md). Calling this during an idle
+        moment (e.g. right after tracking warmup, or from a background
+        thread) runs both global-BA passes on a THROWAWAY buffer-shaped
+        dummy state with the same quantized shapes, so the real terminate
+        finds every program warm in-process. Live state is never touched.
+
+        ``expected_keyframes`` defaults to the buffer capacity. If the
+        session ends in a different quantization bucket (edge/pair-pad
+        power of two or BA-window 32-multiple), only the mismatched
+        programs compile at terminate — never worse than not warming.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.config
+        t = int(expected_keyframes or (cfg.buffer - 2))
+        v = VideoState(cfg)
+        v.counter = max(t, 2)
+        # tiny pose jitter so proximity distances are finite and generic;
+        # edge selection then fills the same 16·t budget a real long
+        # session does
+        rng = np.random.default_rng(0)
+        from ..ops import lie
+
+        tw = jnp.asarray(
+            np.cumsum(0.01 * rng.standard_normal((cfg.buffer, 6)), 0),
+            jnp.float32,
+        )
+        v.poses = lie.retr(v.poses, tw)
+        h, w = cfg.feat_size
+        v.intrinsics = jnp.broadcast_to(
+            jnp.asarray([1.2 * w, 1.2 * w, w / 2, h / 2], jnp.float32),
+            (cfg.buffer, 4),
+        )
+        backend = DroidBackend(self.backend.params, v, cfg,
+                               mesh=self.backend.mesh)
+        backend(2)  # same programs as the 7- and 12-step passes
+        np.asarray(lie.inv(v.poses))  # pose-inv program + full fence
+
     def terminate(self, stream=None) -> np.ndarray:
         """Global BA + trajectory fill; returns camera-to-world poses [T, 7]
         (droid.py:75-89)."""
@@ -193,5 +239,10 @@ class Droid:
 
         from ..ops import lie
 
+        # invert the FULL padded buffer and slice on the host: a [t, 7]
+        # program would recompile for every distinct keyframe count (each
+        # fresh compile is ~5 s over the axon tunnel — measured as the
+        # single largest cold-terminate stage); the padded rows are identity
+        # quaternions whose inverse costs nothing
         t = self.video.counter
-        return np.asarray(lie.inv(self.video.poses[:t]))
+        return np.asarray(lie.inv(self.video.poses))[:t]

@@ -805,6 +805,7 @@ class FactorGraph:
         # call per mode)
         self._lowmem_step = _build_lowmem_step(
             self.video.config.stereo,
+            chunk=getattr(self.video.config, "backend_chunk", 256),
             upsample=self.upsample,
             do_ba=(mesh is None),
             dtype=getattr(self.video.config, "compute_dtype", "float32"),
@@ -818,9 +819,23 @@ class FactorGraph:
         window = max(min(-(-(t1 - t0) // 32) * 32, self.video.config.buffer), 1)
 
         self._sync_device_edges()
+        # process only the OCCUPIED chunk prefix of the edge store: the
+        # store is padded to a power of two (4096 at the bench's 200-kf
+        # scale) while e.g. 3138 slots are live — running the update-op
+        # loop over the dead ~25% cost a fifth of every backend step
+        # (the chunk loop is ~80% of the 0.53 s step; r4 trace). Slots are
+        # sliced to the highest valid index so non-prefix stores (after
+        # rm_factors) stay correct, just less tightly.
+        chunk = getattr(self.video.config, "backend_chunk", 256)
+        occupied = np.nonzero(self.valid)[0]
+        if len(occupied) == 0:
+            return
+        hi = int(occupied.max()) + 1
+        n_used = min(-(-hi // chunk) * chunk, self.edge_pad)
+        edges_dev = jax.tree.map(lambda x: x[:n_used], self.edges)
         pairs = ba_ops.SchurPairs.build(
-            self.ii, self.jj, self.valid, t0, t1, window,
-            pad_floor=self.schur_pair_floor,
+            self.ii[:n_used], self.jj[:n_used], self.valid[:n_used],
+            t0, t1, window, pad_floor=self.schur_pair_floor,
         )
         plan = plan_consts = None
         if mesh is not None:
@@ -831,7 +846,8 @@ class FactorGraph:
             )
 
             plan = ShardedBAPlan.build(
-                self.ii, self.jj, self.valid, mesh.shape["ba"], t, t0, t1
+                self.ii[:n_used], self.jj[:n_used], self.valid[:n_used],
+                mesh.shape["ba"], t, t0, t1,
             )
             # the plan's index arrays are per-topology constants: place them
             # on the mesh once, not once per GN step
@@ -840,7 +856,7 @@ class FactorGraph:
             (
                 self.video.poses,
                 self.video.disps,
-                self.edges,
+                edges_dev,
                 self.damping,
                 self.video.disps_up,
             ) = self._lowmem_step(
@@ -849,7 +865,7 @@ class FactorGraph:
                 self.video.disps,
                 self.video.intrinsics,
                 self.video.disps_sens,
-                self.edges,
+                edges_dev,
                 self.damping,
                 self.video.disps_up,
                 self.video.fmaps,
@@ -865,8 +881,8 @@ class FactorGraph:
                 self.video.poses, self.video.disps = sharded_ba_solve(
                     mesh,
                     plan,
-                    self.edges.target,
-                    self.edges.weight,
+                    edges_dev.target,
+                    edges_dev.weight,
                     0.2 * self.damping + EP,
                     self.video.poses,
                     self.video.disps,
@@ -879,6 +895,15 @@ class FactorGraph:
                     constants=plan_consts,
                 )
             self.video.dirty[:t] = True
+        # write the optimized per-edge state back into the full store (the
+        # tail past n_used holds only invalid slots)
+        if n_used < self.edge_pad:
+            self.edges = jax.tree.map(
+                lambda part, full: jnp.concatenate([part, full[n_used:]], 0),
+                edges_dev, self.edges,
+            )
+        else:
+            self.edges = edges_dev
 
     # --------------------------------------------------- edge construction
 

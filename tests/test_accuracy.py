@@ -29,9 +29,22 @@ WEIGHTS = os.path.join(
 )
 
 
+# Per-seed ATE gates for the SHIPPED weights (synth3_001000, round 4).
+# Measured on the TPU in f32 (tools/eval_sweep.py, 2026-08-20):
+# seed 7 = 0.149, seed 11 = 0.711, seed 23 = 0.177 (CPU f32 agrees to ~0.08;
+# r2's CPU/TPU deltas on marginal seeds were that order). Bounds leave
+# headroom for platform noise but fail on a real regression: a weights or
+# runtime change that tanked ANY of the three seeds toward the untrained
+# floor (≈1.1, tracking never engages) trips its gate. Seed 11 is the known
+# generalization-gap seed (VERDICT r3) — its bound ratchets down as the
+# curriculum training lands.
+SEED_GATES = [(7, 0.30), (11, 0.92), (23, 0.45)]
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="trained weights absent")
-def test_trained_weights_track_synthetic_sequence():
+@pytest.mark.parametrize("seed,bound", SEED_GATES)
+def test_trained_weights_track_synthetic_sequence(seed, bound):
     from droid_slam_tpu.data.synthetic import render_sequence
     from droid_slam_tpu.eval.ate import Trajectory, ate_rmse
     from droid_slam_tpu.runtime import Droid
@@ -39,7 +52,7 @@ def test_trained_weights_track_synthetic_sequence():
 
     frames, H, W = 48, 192, 256
     seq = render_sequence(
-        np.random.default_rng(7), n_frames=frames, image_size=(H, W),
+        np.random.default_rng(seed), n_frames=frames, image_size=(H, W),
         t_sigma=0.25, r_sigma=0.02,
     )
     droid = Droid(
@@ -65,8 +78,7 @@ def test_trained_weights_track_synthetic_sequence():
     )
     est = Trajectory(np.arange(frames, dtype=np.float64), traj[:, :3], traj[:, 3:])
     r = ate_rmse(ref, est, correct_scale=True, max_dt=0.25)
-    # measured ~0.15-0.19 in round 2; untrained floor is 1.13
-    assert r["ate_rmse"] < 0.40, r
+    assert r["ate_rmse"] < bound, (seed, r)
 
 
 if __name__ == "__main__":
