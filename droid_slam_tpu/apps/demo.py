@@ -77,6 +77,11 @@ def main():
                         help="run on random frames (pipeline smoke drive)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler device trace of tracking")
+    parser.add_argument("--warm_terminate", action="store_true",
+                        help="precompile the global-BA terminate path before "
+                        "tracking starts (Droid.warm_terminate; trades a "
+                        "longer start-up for a fast first terminate — see "
+                        "the compile-cliff note in README)")
     args = parser.parse_args()
 
     # the exported reconstruction's dense depths come from the upsampled
@@ -128,6 +133,12 @@ def main():
         )
 
     droid = Droid(config, weights=args.weights, visualize=args.visualize)
+    if args.warm_terminate:
+        # every stream frame keyframing is the worst case; a real session
+        # keyframes ~1/3 of frames — warm for that bucket
+        droid.warm_terminate(
+            expected_keyframes=min(max(len(stream) // 3, 8), config.buffer - 2)
+        )
 
     import contextlib
 

@@ -175,6 +175,19 @@ def main():
     logger = Logger(args.name, total_steps=total_steps) if is_main else None
 
     for batch in db.clips(local_batch):
+        if args.num_processes > 1 and not first_batch:
+            # re-rendezvous at the TOP of every batch: gloo's collective
+            # send timeout is hard-capped (~30 min), and one-sided host work
+            # (process-0 checkpoint/orbax saves, logging, slow renders on a
+            # loaded host) otherwise lets the faster process post the FIRST
+            # collective of the next batch (the randomized-graph broadcast
+            # below, or the grad all-reduce) half an hour before its peer
+            # arrives — which killed two real 2-process segments in r4
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                f"train_step_{total_steps}", timeout_in_ms=3_600_000
+            )
         # poses: dataset convention c2w → w2c (train.py:86-88)
         Ps = np.asarray(lie.inv(jnp.asarray(batch["poses"])))
         Gs0 = Ps.copy()
@@ -231,19 +244,17 @@ def main():
         # only the two initialisation arrays they update
         sharded = shard_batch_for_mesh(train_batch, mesh)
         if args.num_processes > 1 and first_batch:
-            first_batch = False
             # first batch of this session: AOT-compile the cross-process
-            # program, then rendezvous. gloo's collective send timeout is
-            # hard-capped (~30 min); without this, asymmetric compile
-            # durations (cache hit on one process, miss on the other —
-            # minutes per side on a loaded host) let one process sit in the
-            # all-reduce past the cap and kill the run
+            # program BEFORE the rendezvous — asymmetric compile durations
+            # (cache hit on one process, miss on the other) otherwise let
+            # one process sit in the all-reduce past gloo's cap
             # (tests/test_parallel.py uses the same discipline)
+            first_batch = False
             step_fn.grad.lower(state["params"], sharded).compile()
             from jax._src import distributed
 
             distributed.global_state.client.wait_at_barrier(
-                "first_grad_compile", timeout_in_ms=3_600_000
+                "train_first_batch", timeout_in_ms=3_600_000
             )
         r = -1.0
         while r < args.restart_prob:

@@ -22,6 +22,14 @@ f32 noise, at which point the two engines legitimately pick different edges
 (verified by bisection in round 2 — the graphs agree exactly through frame
 10, then a knife-edge greedy pick flips). Trained weights separate real
 candidates by orders of magnitude.
+
+The trained-weights tests load `weights/equivalence_fixture.msgpack`
+(= the r3 synth3_001000 checkpoint) rather than the SHIPPED weights: these
+tests pin ENGINE equivalence, which needs weights whose keyframe/cull
+margins are fat enough to be stable under oneDNN reduction-order noise —
+verified for the fixture, while a newly shipped checkpoint may sit near a
+margin (synth5_004500 flaked exactly one cull on the 26-frame sequence,
+r4). Shipping-weights QUALITY is gated separately by tests/test_accuracy.py.
 """
 
 import dataclasses
@@ -168,7 +176,7 @@ def test_trained_weights_with_culling_agree():
     )
 
     def run(fused):
-        d = Droid(config, weights="weights/droid_synth.msgpack", fused=fused)
+        d = Droid(config, weights="weights/equivalence_fixture.msgpack", fused=fused)
         for t in range(n_frames):
             d.track(t, jnp.asarray(seq["images"][t]),
                     intrinsics=jnp.asarray(seq["intrinsics"][t]))
@@ -222,7 +230,7 @@ def test_keyframe_set_dtype_invariant():
 
     def run(dtype):
         config = dataclasses.replace(base, compute_dtype=dtype)
-        d = Droid(config, weights="weights/droid_synth.msgpack", fused=True)
+        d = Droid(config, weights="weights/equivalence_fixture.msgpack", fused=True)
         for t in range(n_frames):
             d.track(t, jnp.asarray(seq["images"][t]),
                     intrinsics=jnp.asarray(seq["intrinsics"][t]))
