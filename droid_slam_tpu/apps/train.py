@@ -287,9 +287,16 @@ def main():
                 os.makedirs("checkpoints", exist_ok=True)
                 checkpoints.save_params(path, jax.device_get(state["params"]))
                 print(f"saved {path}")
-            if args.state_every and total_steps % args.state_every == 0:
-                spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
-                checkpoints.save_train_state(spath, jax.device_get(state))
+        if args.state_every and total_steps % args.state_every == 0:
+            # orbax's save is a COLLECTIVE in multi-process mode (its
+            # StandardCheckpointer runs sync_global_processes barriers):
+            # EVERY process must call it — process 0 writes, the others
+            # join the sync. Gating this behind is_main left process 0
+            # alone in an allgather until gloo's 30-min cap killed it
+            # (found by a real 2-process segment, r4).
+            spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
+            checkpoints.save_train_state(spath, jax.device_get(state))
+            if is_main:
                 print(f"saved {spath}")
 
         if total_steps >= args.steps:
