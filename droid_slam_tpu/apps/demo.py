@@ -135,10 +135,9 @@ def main():
     droid = Droid(config, weights=args.weights, visualize=args.visualize)
     if args.warm_terminate:
         # every stream frame keyframing is the worst case; a real session
-        # keyframes ~1/3 of frames — warm for that bucket
-        droid.warm_terminate(
-            expected_keyframes=min(max(len(stream) // 3, 8), config.buffer - 2)
-        )
+        # keyframes ~1/3 of frames — warm for that bucket (the method
+        # clamps to the buffer capacity)
+        droid.warm_terminate(expected_keyframes=max(len(stream) // 3, 8))
 
     import contextlib
 

@@ -107,6 +107,7 @@ def main():
         host_local_slice,
         init_state,
         make_train_step,
+        rendezvous,
         replicate_for_mesh,
         shard_batch_for_mesh,
     )
@@ -176,18 +177,14 @@ def main():
 
     for batch in db.clips(local_batch):
         if args.num_processes > 1 and not first_batch:
-            # re-rendezvous at the TOP of every batch: gloo's collective
-            # send timeout is hard-capped (~30 min), and one-sided host work
-            # (process-0 checkpoint/orbax saves, logging, slow renders on a
-            # loaded host) otherwise lets the faster process post the FIRST
+            # re-rendezvous at the TOP of every batch: one-sided host work
+            # (process-0 checkpoint saves, logging, slow renders on a loaded
+            # host) otherwise lets the faster process post the FIRST
             # collective of the next batch (the randomized-graph broadcast
             # below, or the grad all-reduce) half an hour before its peer
-            # arrives — which killed two real 2-process segments in r4
-            from jax._src import distributed
-
-            distributed.global_state.client.wait_at_barrier(
-                f"train_step_{total_steps}", timeout_in_ms=3_600_000
-            )
+            # arrives — past gloo's cap, which killed two real 2-process
+            # segments in r4
+            rendezvous(f"train_step_{total_steps}")
         # poses: dataset convention c2w → w2c (train.py:86-88)
         Ps = np.asarray(lie.inv(jnp.asarray(batch["poses"])))
         Gs0 = Ps.copy()
@@ -248,14 +245,9 @@ def main():
             # program BEFORE the rendezvous — asymmetric compile durations
             # (cache hit on one process, miss on the other) otherwise let
             # one process sit in the all-reduce past gloo's cap
-            # (tests/test_parallel.py uses the same discipline)
             first_batch = False
             step_fn.grad.lower(state["params"], sharded).compile()
-            from jax._src import distributed
-
-            distributed.global_state.client.wait_at_barrier(
-                "train_first_batch", timeout_in_ms=3_600_000
-            )
+            rendezvous("train_first_batch")
         r = -1.0
         while r < args.restart_prob:
             r = rng.random()

@@ -187,9 +187,13 @@ class Droid:
         import jax.numpy as jnp
 
         cfg = self.config
-        t = int(expected_keyframes or (cfg.buffer - 2))
+        t = cfg.buffer - 2 if expected_keyframes is None else int(expected_keyframes)
+        # clamp to what a real session can reach (counter <= buffer):
+        # warming an unreachable bucket pays minutes of compiles for
+        # programs the real terminate can never use
+        t = min(max(t, 2), cfg.buffer - 2)
         v = VideoState(cfg)
-        v.counter = max(t, 2)
+        v.counter = t
         # tiny pose jitter so proximity distances are finite and generic;
         # edge selection then fills the same 16·t budget a real long
         # session does

@@ -803,9 +803,10 @@ class FactorGraph:
         # mesh-ness, and a step built for one mode must not serve the other
         # (_build_lowmem_step is lru_cached, so this is free after the first
         # call per mode)
+        chunk = getattr(self.video.config, "backend_chunk", 256)
         self._lowmem_step = _build_lowmem_step(
             self.video.config.stereo,
-            chunk=getattr(self.video.config, "backend_chunk", 256),
+            chunk=chunk,
             upsample=self.upsample,
             do_ba=(mesh is None),
             dtype=getattr(self.video.config, "compute_dtype", "float32"),
@@ -826,7 +827,6 @@ class FactorGraph:
         # (the chunk loop is ~80% of the 0.53 s step; r4 trace). Slots are
         # sliced to the highest valid index so non-prefix stores (after
         # rm_factors) stay correct, just less tightly.
-        chunk = getattr(self.video.config, "backend_chunk", 256)
         occupied = np.nonzero(self.valid)[0]
         if len(occupied) == 0:
             return

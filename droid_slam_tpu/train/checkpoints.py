@@ -28,12 +28,18 @@ def load_params(path: str, template=None):
 
 def save_train_state(path: str, state: Dict[str, Any]) -> None:
     """Full resumable train state via orbax (params + opt_state + step) —
-    a capability the reference lacks (no optimizer/step resume, SURVEY §5)."""
+    a capability the reference lacks (no optimizer/step resume, SURVEY §5).
+
+    In multi-process mode this is a COLLECTIVE: every process must call it
+    (orbax runs sync_global_processes barriers; process 0 writes).
+    ``force=True``: a resumed run legitimately re-reaches a step whose
+    state dir already exists (orbax otherwise raises 'Destination ...
+    already exists' and kills the session at its next state save)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
 
 

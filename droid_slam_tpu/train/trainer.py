@@ -248,15 +248,37 @@ def host_local_slice(arr: Array, local_rows: int | None = None) -> np.ndarray:
     layout :func:`shard_batch_for_mesh` builds)."""
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    # dedup shards by row range: an output replicated across a process's
+    # LOCAL devices (but sharded across processes) presents several
+    # addressable shards with identical indices — concatenating them all
+    # would duplicate rows
+    by_start = {}
+    for s in arr.addressable_shards:
+        by_start.setdefault(s.index[0].start or 0, s)
+    shards = [by_start[k] for k in sorted(by_start)]
     first = shards[0].index[0]
-    if (first.start or 0) == 0 and first.stop in (None, arr.shape[0]):
-        full = np.asarray(shards[0].data)  # replicated
+    if len(shards) == 1 and (first.start or 0) == 0 and first.stop in (
+        None, arr.shape[0]
+    ):
+        full = np.asarray(shards[0].data)  # fully replicated
         if local_rows is not None and full.shape[0] != local_rows:
             p = jax.process_index()
             return full[p * local_rows:(p + 1) * local_rows]
         return full
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def rendezvous(name: str, timeout_ms: int = 3_600_000) -> None:
+    """Cross-process barrier via the jax.distributed coordination service.
+
+    gloo's collective send timeout is hard-capped (~30 min), so multi-process
+    training must bound skew explicitly: rendezvous after asymmetric work
+    (first-program compiles, one-sided checkpoint saves) before the next
+    collective. Centralizes the private-API access
+    (tests/test_parallel.py's children use the same discipline)."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def replicate_for_mesh(tree, mesh: Mesh):

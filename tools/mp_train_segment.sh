@@ -6,7 +6,7 @@
 # re-puts, process-0 checkpointing, orbax state save, --resume continuation).
 #
 # Runs on CPU (gloo), tiny shapes. Usage: tools/mp_train_segment.sh
-set -eu
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS=cpu
