@@ -53,6 +53,10 @@ def main():
     parser.add_argument("--synthetic", action="store_true",
                         help="train on procedurally rendered scenes "
                         "(data/synthetic.py) instead of TartanAir")
+    parser.add_argument("--varied_frac", type=float, default=0.7,
+                        help="synthetic: fraction of clips from the VARIED "
+                        "curriculum (rich textures, extra planes, motion "
+                        "modes, close-ups)")
     parser.add_argument("--ckpt_every", type=int, default=10000)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--steps", type=int, default=250000)
@@ -139,7 +143,8 @@ def main():
         from ..data.synthetic import SyntheticDataset
 
         db = SyntheticDataset(
-            n_frames=N, image_size=tuple(args.crop), seed=args.process_id
+            n_frames=N, image_size=tuple(args.crop), seed=args.process_id,
+            varied_frac=args.varied_frac,
         )
         if is_main:
             print("dataset: procedural synthetic scenes")
