@@ -180,9 +180,13 @@ def main():
     # NOT before the timed window — resident backend executables cost the
     # track step ~2 fps (measured A/B, r4), a price any session pays only
     # once terminate programs load. BENCH_WARM_TERMINATE=0 skips (A/B knob).
-    if os.environ.get("BENCH_WARM_TERMINATE", "1") != "0":
+    warm_terminate_on = os.environ.get("BENCH_WARM_TERMINATE", "1") != "0"
+    warm_precompile_s = 0.0
+    if warm_terminate_on:
+        t_w0 = time.perf_counter()
         droid.warm_terminate(expected_keyframes=droid.video.counter
                              if not droid.fused else t)
+        warm_precompile_s = time.perf_counter() - t_w0
 
     # ---- terminate (global BA) on the tracked session: first call pays the
     # compiles (cold), the second measures the steady-state backend cost ----
@@ -192,9 +196,15 @@ def main():
     t_term0 = time.perf_counter()
     droid.terminate()
     t_term = time.perf_counter() - t_term0
+    # warm_terminate_s makes the cold number self-describing: with the
+    # precompile on, terminate_cold_s is the warmed-process first terminate
+    # and the compile/load cost sits in warm_precompile_s; with it off,
+    # terminate_cold_s includes the compiles (the pre-r4 definition)
     extra = {
         "terminate_warm_s": round(t_term, 3),
         "terminate_cold_s": round(t_term_cold, 3),
+        "warm_precompile": warm_terminate_on,
+        "warm_precompile_s": round(warm_precompile_s, 3),
         "terminate_keyframes": int(droid.video.counter),
     }
 

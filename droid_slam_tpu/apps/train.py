@@ -44,8 +44,11 @@ def main():
     parser.add_argument("--resume", help="full train-state checkpoint dir (orbax): "
                         "restores params + optimizer + step counter")
     parser.add_argument("--schedule", default="onecycle",
-                        choices=["onecycle", "constant"],
-                        help="lr schedule; use constant for low-lr fine-tune resumes")
+                        choices=["onecycle", "constant", "cosine"],
+                        help="lr schedule; constant for low-lr fine-tune "
+                        "resumes, cosine for a decay-to---lr_final fine-tune")
+    parser.add_argument("--lr_final", type=float, default=5e-6,
+                        help="cosine schedule floor (ignored otherwise)")
     parser.add_argument("--state_every", type=int, default=0,
                         help="save a full resumable train state (orbax) every N "
                         "steps in addition to the msgpack params (0 = off)")
@@ -121,7 +124,7 @@ def main():
         lr=args.lr, steps=args.steps, n_frames=args.n_frames,
         num_iters=args.iters, clip=args.clip,
         w1=args.w1, w2=args.w2, w3=args.w3, restart_prob=args.restart_prob,
-        schedule=args.schedule,
+        schedule=args.schedule, lr_final=args.lr_final,
     )
 
     N = args.n_frames
@@ -208,6 +211,13 @@ def main():
             gi, gj = np.asarray(base_ii), np.asarray(base_jj)
         ii_p, jj_p, valid = pad_graph(gi, gj, n_edges)
         if args.num_processes > 1 and randomized:
+            if first_batch:
+                # the graph broadcast is the first cross-process program of
+                # the session when the first batch draws a randomized graph —
+                # align the processes before it, or asymmetric startup work
+                # (pool renders, imports) lets one process sit in the
+                # broadcast alone toward gloo's send cap
+                rendezvous("first_graph_broadcast")
             # the covisibility graph above was built from PROCESS-LOCAL data
             # (each process samples distinct clips), but shard_batch_for_mesh
             # places the graph keys replicated — the replicas must be
@@ -292,7 +302,13 @@ def main():
             # alone in an allgather until gloo's 30-min cap killed it
             # (found by a real 2-process segment, r4).
             spath = f"checkpoints/{args.name}_state_{total_steps:06d}"
-            checkpoints.save_train_state(spath, jax.device_get(state))
+            checkpoints.save_train_state(
+                spath, jax.device_get(state),
+                # only a resumed run may overwrite an existing state dir
+                # (it legitimately re-reaches saved steps); a fresh run
+                # colliding with an old run's dir should fail loudly
+                overwrite=bool(args.resume),
+            )
             if is_main:
                 print(f"saved {spath}")
 

@@ -26,20 +26,23 @@ def load_params(path: str, template=None):
     return serialization.from_bytes(template, data)
 
 
-def save_train_state(path: str, state: Dict[str, Any]) -> None:
+def save_train_state(path: str, state: Dict[str, Any],
+                     overwrite: bool = False) -> None:
     """Full resumable train state via orbax (params + opt_state + step) —
     a capability the reference lacks (no optimizer/step resume, SURVEY §5).
 
     In multi-process mode this is a COLLECTIVE: every process must call it
     (orbax runs sync_global_processes barriers; process 0 writes).
-    ``force=True``: a resumed run legitimately re-reaches a step whose
-    state dir already exists (orbax otherwise raises 'Destination ...
-    already exists' and kills the session at its next state save)."""
+    ``overwrite``: a RESUMED run legitimately re-reaches a step whose state
+    dir already exists (orbax otherwise raises 'Destination ... already
+    exists' and kills the session at its next state save). Scoped to resumes
+    only — a fresh run that collides with a different earlier run's dir
+    should fail loudly, not silently clobber it."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(path, state, force=overwrite)
     ckptr.wait_until_finished()
 
 

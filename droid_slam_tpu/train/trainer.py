@@ -42,8 +42,10 @@ class TrainConfig:
     pct_start: float = 0.01
     # lr schedule: "onecycle" (reference, train.py:157) for from-scratch runs,
     # "constant" for low-lr fine-tune resumes (the reference has no resume
-    # story at all — it restores params only, train.py:57-58)
+    # story at all — it restores params only, train.py:57-58), "cosine" for
+    # a decay-into-the-basin fine-tune (lr → lr_final over `steps`)
     schedule: str = "onecycle"
+    lr_final: float = 5e-6  # cosine schedule floor
     # rematerialise update-op + BA activations in backward: required to fit
     # the 15-step unroll at 384x512 on a 16 GB chip (droid_net.DroidNet.remat)
     remat: bool = True
@@ -60,6 +62,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # to the onecycle one, so an orbax train state saved under either
         # schedule restores under the other
         schedule = optax.constant_schedule(cfg.lr)
+    elif cfg.schedule == "cosine":
+        schedule = optax.cosine_decay_schedule(
+            init_value=cfg.lr, decay_steps=steps,
+            alpha=cfg.lr_final / cfg.lr,
+        )
     else:
         schedule = optax.cosine_onecycle_schedule(
             transition_steps=steps,
@@ -262,6 +269,13 @@ def host_local_slice(arr: Array, local_rows: int | None = None) -> np.ndarray:
     ):
         full = np.asarray(shards[0].data)  # fully replicated
         if local_rows is not None and full.shape[0] != local_rows:
+            # the slice below assumes process-contiguous row order and an
+            # exact global batch (shard_batch_for_mesh's layout); any other
+            # shape means a mesh/sharding this helper doesn't understand —
+            # fail loudly rather than return another process's rows
+            assert full.shape[0] == local_rows * jax.process_count(), (
+                full.shape, local_rows, jax.process_count()
+            )
             p = jax.process_index()
             return full[p * local_rows:(p + 1) * local_rows]
         return full
