@@ -323,10 +323,37 @@ def build_sharded_ba(
     return run
 
 
+# programs already AOT-compiled + barriered in multi-process mode (keyed by
+# jitted fn identity + arg shapes/dtypes); both processes mutate this
+# symmetrically, so the barrier names agree
+_MP_AOT_DONE: set = set()
+
+
+def _put(x, sharding: NamedSharding):
+    """Place a host/local-device array with ``sharding``, including on a
+    MULTI-PROCESS mesh (the DCN-analogue backend path): `device_put` cannot
+    target non-addressable devices, so build the global array from each
+    process's addressable shards instead. Every process holds the full
+    array host-side (the plan/window state is computed identically on every
+    process), so the callback just slices it."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)  # fetch local device arrays to host once
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: np.ascontiguousarray(x[idx])
+        )
+    return jax.device_put(jnp.asarray(x), sharding)
+
+
 def _put_sharded(mesh: Mesh, axis: str, x):
-    return jax.device_put(
-        jnp.asarray(x), NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
+    return _put(
+        x, NamedSharding(mesh, P(axis, *([None] * (np.ndim(x) - 1))))
     )
+
+
+def host_replicated(arr: Array) -> np.ndarray:
+    """Host copy of a replicated global array, valid even when the array
+    spans non-addressable devices (where plain np.asarray raises)."""
+    return np.asarray(arr.addressable_shards[0].data)
 
 
 def place_plan_constants(mesh: Mesh, plan: ShardedBAPlan, axis: str = "ba"):
@@ -386,19 +413,45 @@ def sharded_ba_solve(
                              constants=constants)
 
     def put_repl(x):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+        return _put(x, NamedSharding(mesh, P()))
 
     poses = put_repl(poses)
     disps = put_repl(disps)
     intrinsics0 = put_repl(intrinsics0)
     disps_sens = put_repl(disps_sens)
     eta = put_repl(eta)
+    if jax.process_count() > 1:
+        # gloo discipline (CLAUDE.md rule 1, found by real 2-process
+        # failures): AOT-compile the first cross-process program, then
+        # barrier, THEN execute — asymmetric compile durations (cache hit
+        # on one process only) otherwise park one process in the gloo
+        # communicator rendezvous past its 30 s cap. Once per program.
+        args = (plan_arrays, poses, disps, intrinsics0, disps_sens, eta,
+                jnp.int32(t0), jnp.int32(t1))
+        akey = (id(run), tuple(
+            (a.shape, str(a.dtype)) for a in jax.tree.leaves(args)
+        ))
+        if akey not in _MP_AOT_DONE:
+            run.lower(*args).compile()
+            _MP_AOT_DONE.add(akey)
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                f"sharded_ba_aot_{len(_MP_AOT_DONE)}", timeout_in_ms=1_500_000
+            )
     for _ in range(iterations):
         poses, disps = run(
             plan_arrays, poses, disps, intrinsics0, disps_sens, eta,
             jnp.int32(t0), jnp.int32(t1),
         )
-    return poses, jnp.clip(disps, 0.001, None)
+    disps = jnp.clip(disps, 0.001, None)
+    if jax.process_count() > 1:
+        # hand process-LOCAL arrays back: callers (update_lowmem's chunked
+        # update-op step) run plain local jits that cannot consume arrays
+        # spanning non-addressable devices
+        return (jnp.asarray(host_replicated(poses)),
+                jnp.asarray(host_replicated(disps)))
+    return poses, disps
 
 
 def sharded_ba_iteration(

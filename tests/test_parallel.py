@@ -340,6 +340,67 @@ assert ba_perr < 1e-4, ba_perr
 assert ba_derr < 1e-4, ba_derr
 print(pid, "MP_SHARDED_BA_OK", flush=True)
 
+# ---- full DroidBackend across the 2-PROCESS mesh (the DCN analogue of the
+# north-star multi-host global BA): graph build + update op + edge-sharded
+# distributed GN, parity with the single-device backend at 1e-4 ------------
+from droid_slam_tpu.runtime.backend import DroidBackend
+from droid_slam_tpu.runtime.config import DroidConfig
+from droid_slam_tpu.runtime.video import VideoState
+
+cfg_b = DroidConfig(
+    image_size=(48, 64), buffer=12, window_pad=16, schur_pair_floor=512,
+    inactive_pad=16, backend_thresh=1e9, compute_dtype="float32",
+)
+bparams = init_params(jax.random.PRNGKey(2), image_size=(48, 64))
+upd_params = {"params": bparams["params"]["update"]}
+
+rb = np.random.default_rng(11)
+Fb = 8
+hb, wb = cfg_b.feat_size
+poses_b = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (cfg_b.buffer, 1))
+poses_b = np.asarray(lie.retr(
+    jnp.asarray(poses_b),
+    jnp.asarray(np.pad(0.03 * rb.standard_normal((Fb, 6)), ((0, cfg_b.buffer - Fb), (0, 0))).astype(np.float32)),
+))
+disps_b = np.ones((cfg_b.buffer, hb, wb), np.float32)
+disps_b[:Fb] = (0.5 + rb.random((Fb, hb, wb))).astype(np.float32)
+fmaps_b = rb.standard_normal((cfg_b.buffer, 1, hb, wb, 128)).astype(np.float32)
+nets_b = np.tanh(rb.standard_normal((cfg_b.buffer, hb, wb, 128))).astype(np.float32)
+inps_b = rb.standard_normal((cfg_b.buffer, hb, wb, 128)).astype(np.float32)
+intr_b = np.broadcast_to(np.array([8.0, 8.0, wb / 2, hb / 2], np.float32), (cfg_b.buffer, 4))
+
+def make_video():
+    v = VideoState(cfg_b)
+    v.counter = Fb
+    v.poses = jnp.asarray(poses_b.copy())
+    v.disps = jnp.asarray(disps_b.copy())
+    v.intrinsics = jnp.asarray(intr_b.copy())
+    v.fmaps = jnp.asarray(fmaps_b.copy())
+    v.nets = jnp.asarray(nets_b.copy())
+    v.inps = jnp.asarray(inps_b.copy())
+    return v
+
+# single-device reference, computed identically on each process (no
+# collectives); then the 4-device 2-process mesh run. The update-op compile
+# is local and cache-shared — enter the distributed run together.
+v_single = make_video()
+DroidBackend(upd_params, v_single, cfg_b)(steps=2)
+barrier("backend_mesh_enter")
+v_mesh = make_video()
+DroidBackend(upd_params, v_mesh, cfg_b,
+             mesh=Mesh(np.array(jax.devices()), ("ba",)))(steps=2)
+
+mb_perr = float(np.abs(np.asarray(v_single.poses[:Fb]) - np.asarray(v_mesh.poses[:Fb])).max())
+mb_derr = float(np.abs(np.asarray(v_single.disps[:Fb]) - np.asarray(v_mesh.disps[:Fb])).max())
+print(pid, "MP_BACKEND_POSE_ERR", mb_perr, flush=True)
+print(pid, "MP_BACKEND_DISP_ERR", mb_derr, flush=True)
+# 5e-3 like the single-process BACKEND_MESH bound: the sharded GN reorders
+# f32 reductions vs the dense solver and the update op compounds the drift
+# over steps*itrs solves (the raw one-iteration psum parity above is 1e-4)
+assert mb_perr < 5e-3, mb_perr
+assert mb_derr < 5e-3, mb_derr
+print(pid, "MP_BACKEND_OK", flush=True)
+
 # skip jax.distributed.shutdown's exit barrier: on a single-core CI box the
 # compile-cache-warm process reaches exit minutes before the other and the
 # barrier DEADLINE_EXCEEDEDs, aborting a run whose collectives all succeeded
@@ -383,7 +444,7 @@ def test_multiprocess_distributed():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=1500)
+            out, err = p.communicate(timeout=2400)
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
@@ -394,6 +455,7 @@ def test_multiprocess_distributed():
         assert "MP_DP_TRAIN_OK" in out, out + err
         assert "MP_REPUT_OK" in out, out + err
         assert "MP_SHARDED_BA_OK" in out, out + err
+        assert "MP_BACKEND_OK" in out, out + err
 
 
 @pytest.mark.slow
