@@ -213,6 +213,21 @@ def main():
     if bt > 0:
         extra.update(backend_scale_probe(bt))
 
+    # ---- reference-scale long-loop session (384×512, ≥150 keyframes,
+    # loop revisit): track + warm_terminate + both global-BA passes +
+    # filler, reporting terminate wall time and scale-corrected ATE.
+    # Auto mode runs only when the rendered-sequence cache exists
+    # (tools/longloop.py builds it; rendering costs minutes of host
+    # raycasting that the driver's bench run should not pay). ----
+    llp = os.environ.get("BENCH_LONGLOOP", "auto")
+    ll_frames, (ll_h, ll_w) = 288, (384, 512)
+    ll_cache = f"/tmp/droid_longloop_7_{ll_frames}_{ll_h}x{ll_w}.npz"
+    if llp == "1" or (llp == "auto" and os.path.exists(ll_cache)):
+        from tools.longloop import run as longloop_run
+
+        extra["longloop"] = longloop_run(7, ll_frames, ll_h, ll_w,
+                                         config.compute_dtype)
+
     print(
         json.dumps(
             {

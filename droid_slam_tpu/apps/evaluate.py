@@ -61,6 +61,9 @@ def main():
     parser.add_argument("--weights", default=None)
     parser.add_argument("--gt", default=None, help="ground-truth file (TUM format)")
     parser.add_argument("--stereo", action="store_true")
+    parser.add_argument("--rgbd", action="store_true",
+                        help="synthetic: feed the rendered depth channel "
+                        "(disps_sens + BA α-prior); metric scale, unscaled ATE")
     parser.add_argument("--compute_dtype", default=None,
                         choices=["bfloat16", "float32"],
                         help="override the runtime compute dtype (bf16 is the "
@@ -99,18 +102,42 @@ def main():
             image_size=tuple(args.image_size),
             t_sigma=0.25,
             r_sigma=0.02,
+            stereo=args.stereo,
         )
-        track = [
+        if args.stereo:
+            # stereo rig: frames [2, H, W, 3]; the runtime's self-edges
+            # carry the rig baseline, which matches the renderer's, so the
+            # reconstruction is metric (scale 1) — gate ATE UNSCALED like
+            # the reference's RGB-D protocol
+            track = [
+                (k, np.stack([seq["images"][k], seq["images_right"][k]]),
+                 seq["intrinsics"][k])
+                for k in range(args.frames)
+            ]
+        elif args.rgbd:
+            # depth-sensor channel → disps_sens + the BA α-prior term
+            # (metric scale; unscaled ATE, test_eth3d.py:34 protocol)
+            track = [
+                (k, seq["images"][k], seq["depths"][k], seq["intrinsics"][k])
+                for k in range(args.frames)
+            ]
+        else:
+            track = [
+                (k, seq["images"][k], seq["intrinsics"][k])
+                for k in range(args.frames)
+            ]
+        fill = [
             (k, seq["images"][k], seq["intrinsics"][k])
             for k in range(args.frames)
         ]
-        fill = track
         config = DroidConfig(
             image_size=tuple(args.image_size),
             buffer=max(96, args.frames),
             warmup=8,
+            stereo=args.stereo,
         )
-        scale_correct, pos_scale = True, 1.0
+        scale_correct = not (args.stereo or args.rgbd)
+        pos_scale = 1.0
         gt = None
         ref = Trajectory(
             np.arange(args.frames, dtype=np.float64),

@@ -184,6 +184,36 @@ def _smooth_trajectory(rng, n_frames: int, t_sigma: float, r_sigma: float,
     return centers, Rs
 
 
+# Stereo rig: the runtime's stereo self-edges pin the left→right transform
+# to t = (−0.1, 0, 0), identity rotation (ops/projective.py:135, citing
+# /root/reference/droid_slam/geom/projective_ops.py:106). That transform
+# maps LEFT-camera coordinates to RIGHT-camera coordinates, so the right
+# camera center sits at +0.1 along the left camera's x axis.
+STEREO_BASELINE = 0.1
+
+
+def _raycast(planes, o, d_world, H, W):
+    """Raycast one camera: returns (rgb uint8 [H,W,3], depth f32 [H,W])."""
+    t_best = np.full((H, W), np.inf)
+    idx = np.full((H, W), -1, np.int32)
+    for pi, pl in enumerate(planes):
+        t = pl.intersect(o, d_world)
+        better = t < t_best
+        t_best = np.where(better, t, t_best)
+        idx = np.where(better, pi, idx)
+    # rays that miss everything: clamp to far depth with plane-0 color
+    t_best = np.where(np.isfinite(t_best), t_best, 50.0)
+    idx = np.where(idx < 0, 0, idx)
+
+    p_world = o + t_best[..., None] * d_world
+    img = np.zeros((H, W, 3), np.uint8)
+    for pi, pl in enumerate(planes):
+        m = idx == pi
+        if m.any():
+            img[m] = pl.color(p_world[m])
+    return img, t_best.astype(np.float32)  # camera z (d_cam z-component = 1)
+
+
 def render_sequence(
     rng: np.random.Generator,
     n_frames: int = 7,
@@ -192,11 +222,19 @@ def render_sequence(
     r_sigma: float = 0.01,
     focal: Optional[float] = None,
     varied: bool = False,
+    stereo: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Render one sequence. Returns dict with
 
     images: [F, H, W, 3] uint8; poses: [F, 7] CAMERA-TO-WORLD (t, q_xyzw);
-    depths: [F, H, W] f32; intrinsics: [F, 4] f32.
+    depths: [F, H, W] f32; intrinsics: [F, 4] f32; with ``stereo`` also
+    images_right: [F, H, W, 3] uint8 from a camera offset by
+    STEREO_BASELINE along the left camera's +x axis (same rotation) —
+    exactly the rig the runtime's stereo self-edges assume, so the true
+    reconstruction scale is 1.0 and stereo ATE can be gated unscaled.
+
+    The rng consumption is IDENTICAL for mono and stereo renders of the
+    same seed (the right camera adds no draws): pinned eval scenes match.
     """
     H, W = image_size
     f = focal if focal is not None else 0.9 * W
@@ -211,6 +249,9 @@ def render_sequence(
     d_cam = np.stack([(u - cx) / f, (v - cy) / f, np.ones_like(u)], axis=-1)
 
     images = np.zeros((n_frames, H, W, 3), np.uint8)
+    images_right = (
+        np.zeros((n_frames, H, W, 3), np.uint8) if stereo else None
+    )
     depths = np.zeros((n_frames, H, W), np.float32)
     poses = np.zeros((n_frames, 7), np.float32)
     for k in range(n_frames):
@@ -218,28 +259,108 @@ def render_sequence(
         R = Rs[k]  # camera-to-world rotation
         d_world = d_cam @ R.T  # [H, W, 3]
 
-        t_best = np.full((H, W), np.inf)
-        idx = np.full((H, W), -1, np.int32)
-        for pi, pl in enumerate(planes):
-            t = pl.intersect(o, d_world)
-            better = t < t_best
-            t_best = np.where(better, t, t_best)
-            idx = np.where(better, pi, idx)
-        # rays that miss everything: clamp to far depth with plane-0 color
-        t_best = np.where(np.isfinite(t_best), t_best, 50.0)
-        idx = np.where(idx < 0, 0, idx)
-
-        p_world = o + t_best[..., None] * d_world
-        img = np.zeros((H, W, 3), np.uint8)
-        for pi, pl in enumerate(planes):
-            m = idx == pi
-            if m.any():
-                img[m] = pl.color(p_world[m])
-        images[k] = img
-        depths[k] = t_best.astype(np.float32)  # camera z (d_cam z-component = 1)
+        images[k], depths[k] = _raycast(planes, o, d_world, H, W)
+        if stereo:
+            # right camera: same rotation, center offset along camera +x
+            # (world direction = first COLUMN of the c2w rotation)
+            o_r = o + STEREO_BASELINE * R[:, 0]
+            images_right[k], _ = _raycast(planes, o_r, d_world, H, W)
 
         q = Rotation.from_matrix(R).as_quat()  # xyzw, camera-to-world
         poses[k] = np.concatenate([o, q]).astype(np.float32)
+
+    out = {
+        "images": images,
+        "poses": poses,
+        "depths": depths,
+        "intrinsics": np.tile(intr, (n_frames, 1)),
+    }
+    if stereo:
+        out["images_right"] = images_right
+    return out
+
+
+def render_loop_sequence(
+    rng: np.random.Generator,
+    n_frames: int = 240,
+    image_size=(384, 512),
+    radius: float = 2.5,
+    revisit: float = 0.12,
+    focal: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Reference-scale evaluation sequence: a long orbit through a textured
+    courtyard that RETURNS to its start (``revisit`` extra fraction of the
+    circle re-observes the first views) — the buffer≳100-keyframe,
+    global-BA-with-loop-revisit regime the reference validates on
+    (/root/reference/evaluation_scripts/test_eth3d.py:62 buffer 1024),
+    which the 48-frame random-walk protocol never reaches.
+
+    World: closed courtyard (floor + 4 walls + ceiling, rich textures) the
+    camera orbits inside, yawing along the path tangent with small noise;
+    exact GT like render_sequence. Deterministic per rng seed.
+    """
+    H, W = image_size
+    f = focal if focal is not None else 0.9 * W
+    cx, cy = W / 2, H / 2
+    intr = np.array([f, f, cx, cy], np.float32)
+
+    # closed courtyard: normals chosen so every inward ray hits a surface.
+    # Walls sit CLOSE to the orbit (~1 unit): near-field parallax is what
+    # drives optical flow past the keyframe threshold at every resolution
+    # (far walls gave 1-2 px at the 1/8 grid — below the 2.4 px gate — so
+    # keyframing starved and inter-keyframe motion ballooned)
+    half = radius + rng.uniform(0.8, 1.2)
+    planes = [
+        _Plane(rng, (0.0, 1.0, 0.0), rng.uniform(0.7, 1.0), rich=True),   # floor
+        _Plane(rng, (0.0, 1.0, 0.0), -rng.uniform(1.0, 1.4), rich=True),  # ceiling
+        _Plane(rng, (1.0, 0.0, 0.0), half, rich=True),    # wall x=+half
+        _Plane(rng, (-1.0, 0.0, 0.0), half, rich=True),   # wall x=-half
+        _Plane(rng, (0.0, 0.0, 1.0), half, rich=True),    # wall z=+half
+        _Plane(rng, (0.0, 0.0, -1.0), half, rich=True),   # wall z=-half
+    ]
+
+    # orbit with revisit: total sweep (1+revisit)*2π. The camera faces
+    # OUTWARD (radially, at the near wall ~1 unit away) while circling —
+    # lateral translation against near-field content drives strong optical
+    # flow at every resolution (a tangent-facing orbit stares down a 4-6
+    # unit corridor: 1-2 px at the 1/8 grid, below the 2.4 px keyframe
+    # gate, and keyframing starves — measured on the first cut)
+    theta = (1.0 + revisit) * 2.0 * np.pi * np.arange(n_frames) / n_frames
+    centers = np.stack([
+        radius * np.sin(theta),
+        0.12 * np.sin(3.1 * theta),  # gentle bobbing
+        -radius * np.cos(theta),
+    ], axis=-1)
+    # smooth per-frame jitter so motion is not perfectly scripted
+    jit = 0.015 * rng.standard_normal((n_frames, 3))
+    for _ in range(4):  # cheap smoothing
+        jit = 0.5 * jit + 0.25 * (np.roll(jit, 1, 0) + np.roll(jit, -1, 0))
+    centers += jit
+
+    outward = np.stack([np.sin(theta), np.zeros_like(theta), -np.cos(theta)], -1)
+    yaw_noise = np.cumsum(0.004 * rng.standard_normal(n_frames))
+    Rs = np.zeros((n_frames, 3, 3))
+    for k in range(n_frames):
+        z = outward[k] / np.linalg.norm(outward[k])
+        c, s = np.cos(yaw_noise[k]), np.sin(yaw_noise[k])
+        z = np.array([c * z[0] + s * z[2], z[1], -s * z[0] + c * z[2]])
+        y = np.array([0.0, 1.0, 0.0])  # world +y is image-down (floor below)
+        x = np.cross(y, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs[k] = np.stack([x, y, z], axis=-1)  # columns = camera axes
+
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    d_cam = np.stack([(u - cx) / f, (v - cy) / f, np.ones_like(u)], axis=-1)
+
+    images = np.zeros((n_frames, H, W, 3), np.uint8)
+    depths = np.zeros((n_frames, H, W), np.float32)
+    poses = np.zeros((n_frames, 7), np.float32)
+    for k in range(n_frames):
+        d_world = d_cam @ Rs[k].T
+        images[k], depths[k] = _raycast(planes, centers[k], d_world, H, W)
+        q = Rotation.from_matrix(Rs[k]).as_quat()
+        poses[k] = np.concatenate([centers[k], q]).astype(np.float32)
 
     return {
         "images": images,

@@ -213,6 +213,23 @@ class Droid:
         backend = DroidBackend(self.backend.params, v, cfg,
                                mesh=self.backend.mesh)
         backend(2)  # same programs as the 7- and 12-step passes
+        # warm the trajectory-filler family too: encoder + 2M-edge graph +
+        # 6 motion-only updates at the fixed fill batch. These were the
+        # dominant remaining cold-terminate programs (BENCH_r04: 28.5 s
+        # cold with only the backend warmed); the filler now pads partial
+        # batches, so ONE family covers any stream length.
+        batch = min(16, cfg.buffer - t)
+        if batch >= 1:
+            import jax.numpy as jnp_
+
+            v.tstamp = jnp_.arange(cfg.buffer, dtype=jnp_.float32)
+            H, W = cfg.image_size
+            intr_full = np.asarray(
+                [1.2 * W, 1.2 * W, W / 2, H / 2], np.float32
+            )
+            dummy = np.zeros((H, W, 3), np.uint8)
+            stream = [(k + 0.5, dummy, intr_full) for k in range(batch)]
+            PoseTrajectoryFiller(self.params, v, cfg)(iter(stream))
         np.asarray(lie.inv(v.poses))  # pose-inv program + full fence
 
     def terminate(self, stream=None) -> np.ndarray:

@@ -633,7 +633,13 @@ class FactorGraph:
         self._deactivate(slots, store=store)
 
     def filter_edges(self):
-        """Remove edges with weak confidence (factor_graph.py:71-78)."""
+        """Remove edges with weak confidence (factor_graph.py:71-78).
+
+        API parity: like the reference, the shipped pipeline never calls
+        this (the frontend prunes via rm_factors/rm_keyframe instead); it
+        is kept for users who drive FactorGraph directly, and pinned by
+        tests/test_factor_graph.py::test_filter_edges_drops_weak_long_range.
+        """
         conf = np.asarray(_edge_confidence_kernel(self.edges))
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001) & self.valid
         for s in np.nonzero(mask)[0]:

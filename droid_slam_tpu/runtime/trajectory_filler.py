@@ -113,7 +113,21 @@ class PoseTrajectoryFiller:
                 pose_list.append(self._fill(tstamps, images, intrinsics, ts))
                 tstamps, images, intrinsics = [], [], []
         if tstamps:
-            pose_list.append(self._fill(tstamps, images, intrinsics, ts))
+            # pad the trailing partial batch to the full batch size by
+            # repeating its last frame, then drop the padded rows: a
+            # remainder-sized batch would compile a SECOND program family
+            # (encoder + factor graph + 6 update steps at M=len(tstamps)) —
+            # several seconds each over the axon tunnel, and the dominant
+            # cold-terminate stage after warm_terminate warms the M=batch
+            # family (BENCH_r04 cold 28.5 s was mostly this)
+            n_tail = len(tstamps)
+            while len(tstamps) < batch:
+                tstamps.append(tstamps[-1])
+                images.append(images[-1])
+                intrinsics.append(intrinsics[-1])
+            pose_list.append(
+                self._fill(tstamps, images, intrinsics, ts)[:n_tail]
+            )
 
         traj = jnp.concatenate(pose_list, axis=0)
         return np.asarray(lie.inv(traj))

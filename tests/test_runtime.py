@@ -212,6 +212,41 @@ def test_rgbd_depth_prior_seeds_disparity(fused):
     assert np.abs(np.median(disps) - 1.0 / depth_val) < 0.2, np.median(disps)
 
 
+def test_filter_edges_drops_weak_long_range():
+    """filter_edges removes |i-j|>2 edges whose mean confidence fell below
+    1e-3 and blacklists the pair (reference factor_graph.py:71-78). The
+    shipped pipeline never calls it (same as the reference); this pins the
+    public API for direct FactorGraph users."""
+    import jax.numpy as jnp
+
+    from droid_slam_tpu.runtime.factor_graph import FactorGraph
+    from droid_slam_tpu.runtime.video import VideoState
+
+    config = make_config()
+    v = VideoState(config)
+    v.counter = 8
+    graph = FactorGraph(
+        v, None, max_factors=16, inactive_pad=16, window_pad=16,
+        schur_pair_floor=512, edge_pad=16,
+    )
+    ii = np.asarray([0, 1, 0, 1], np.int32)
+    jj = np.asarray([1, 3, 5, 7], np.int32)  # ranges 1, 2, 5, 6
+    graph.add_factors(ii, jj)
+    # give ONE long-range edge confident weights; leave the rest at zero
+    w = np.zeros(graph.edges.weight.shape, np.float32)
+    w[3] = 0.9  # the (1, 7) edge survives
+    graph.edges = graph.edges._replace(weight=jnp.asarray(w))
+
+    graph.filter_edges()
+
+    kept = {(int(a), int(b))
+            for a, b in zip(graph.ii[graph.valid], graph.jj[graph.valid])}
+    # short-range edges are exempt regardless of confidence; weak long-range
+    # edges drop and are blacklisted
+    assert kept == {(0, 1), (1, 3), (1, 7)}, kept
+    assert graph.bad_edges == {(0, 5)}, graph.bad_edges
+
+
 def test_init_graph_exceeds_max_factors():
     """max_factors is the reference's eviction THRESHOLD, not a capacity:
     remove=False appends past it (factor_graph.py:102-107), and the tum/euroc

@@ -89,7 +89,7 @@ def gauge_ate():
                      seq["poses"][:, 3:].astype(np.float64))
     est_t = Trajectory(ts, est[:, :3].astype(np.float64),
                        est[:, 3:].astype(np.float64))
-    return ate_rmse(ref, est_t, correct_scale=True, max_dt=0.25)
+    return float(ate_rmse(ref, est_t, correct_scale=True, max_dt=0.25)["ate_rmse"])
 
 
 params = droid.backend.params
