@@ -29,22 +29,38 @@ WEIGHTS = os.path.join(
 )
 
 
-# Per-seed ATE gates for the SHIPPED weights (synth5_004500, round 4: the
-# varied close-up curriculum that closed the seed-11 generalization gap).
-# Measured on the TPU (tools/eval_sweep.py, 2026-08-20):
+# Per-(seed, dtype) ATE gates for the SHIPPED weights (synth5_004500, round
+# 4: the varied close-up curriculum that closed the seed-11 generalization
+# gap). Measured on the TPU (tools/eval_sweep.py, 2026-08-20):
 # f32 seed 7 = 0.120, seed 11 = 0.183, seed 23 = 0.193 (bf16:
-# 0.120/0.246/0.195; CPU f32 agrees to ~0.08 — r2's CPU/TPU deltas on
-# marginal seeds were that order). Bounds leave headroom for platform noise
-# but fail on a real regression: a weights or runtime change that tanked ANY
-# seed toward the untrained floor (≈1.1, tracking never engages) — or
-# reopened the seed-11 gap (0.711 before r4's curriculum) — trips its gate.
-SEED_GATES = [(7, 0.30), (11, 0.45), (23, 0.45)]
+# 0.120/0.246/0.195); unseen seeds 5/42 f32 = 0.262/0.238. CPU f32 agrees
+# to ~0.08 — r2's CPU/TPU deltas on marginal seeds were that order. Bounds
+# are measured + ~0.1 regression margin + ~0.1 platform noise (VERDICT r4
+# weak #5: the old 2-2.5x headroom let real regressions pass):
+#   * tuned seeds (7/11/23, f32) — a runtime/weights change that moves any
+#     of them >~0.2 trips its gate (the pre-r4 seed-11 gap was 0.711),
+#   * UNSEEN seeds (5/42, f32) — generalization: training-side overfitting
+#     regressions the tuned rows can't see (r4's synth4_004000 hit 0.368
+#     on seed 42),
+#   * seed 11 in bf16 — the thin-margin keyframing seed where the
+#     synth4-bf16-flip class manifests (0.655 bf16 vs 0.214 f32),
+# plus, on EVERY row, a fitted-scale sanity gate: r4's seed-5 sweep row
+# showed scale-corrected ATE masking a ~70x scale collapse (fitted scale
+# 0.015); any scale outside [0.3, 3] fails regardless of ATE.
+SEED_GATES = [
+    (7, "float32", 0.30),
+    (11, "float32", 0.40),
+    (23, "float32", 0.40),
+    (5, "float32", 0.45),
+    (42, "float32", 0.45),
+    (11, "bfloat16", 0.45),
+]
 
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="trained weights absent")
-@pytest.mark.parametrize("seed,bound", SEED_GATES)
-def test_trained_weights_track_synthetic_sequence(seed, bound):
+@pytest.mark.parametrize("seed,dtype,bound", SEED_GATES)
+def test_trained_weights_track_synthetic_sequence(seed, dtype, bound):
     from droid_slam_tpu.data.synthetic import render_sequence
     from droid_slam_tpu.eval.ate import Trajectory, ate_rmse
     from droid_slam_tpu.runtime import Droid
@@ -56,7 +72,8 @@ def test_trained_weights_track_synthetic_sequence(seed, bound):
         t_sigma=0.25, r_sigma=0.02,
     )
     droid = Droid(
-        DroidConfig(image_size=(H, W), buffer=max(96, frames), warmup=8),
+        DroidConfig(image_size=(H, W), buffer=max(96, frames), warmup=8,
+                    compute_dtype=dtype),
         weights=WEIGHTS,
     )
     for k in range(frames):
@@ -78,7 +95,86 @@ def test_trained_weights_track_synthetic_sequence(seed, bound):
     )
     est = Trajectory(np.arange(frames, dtype=np.float64), traj[:, :3], traj[:, 3:])
     r = ate_rmse(ref, est, correct_scale=True, max_dt=0.25)
-    assert r["ate_rmse"] < bound, (seed, r)
+    assert r["ate_rmse"] < bound, (seed, dtype, r)
+    # scale sanity: scale-corrected ATE can mask a wholesale scale collapse
+    # (r4 seed-5 row: ATE 0.262 at fitted scale 0.015 — a ~70x error)
+    assert 0.3 < r["scale"] < 3.0, (seed, dtype, r)
+
+
+# ---------------------------------------------------------------- stereo /
+# RGB-D end-to-end ATE gates (VERDICT r4 item 4): the two reference modes
+# (stereo EuRoC, RGB-D ETH3D — evaluation_scripts/test_euroc.py:80-101,
+# test_eth3d.py:34) previously only smoke-tested. Both modes are METRIC
+# (the stereo rig baseline / the depth channel pin absolute scale), so ATE
+# is gated UNSCALED and the recovered scale itself is gated near 1 — a much
+# stronger assertion than the mono protocol's scale-corrected ATE.
+# Protocol: 24 frames at 96×128 (the mp_train_segment eval protocol; the
+# shipped weights score ~0.07 scale-corrected mono there), which keeps each
+# mode ~3-5 CPU-minutes instead of the 10 of the 48f/192×256 rows above.
+# Measured (CPU f32, 2026-08-20, shipped weights): stereo unscaled ATE
+# 0.122 at fitted scale 1.12; RGB-D unscaled ATE 0.086 at scale 0.93.
+
+
+def _run_synthetic_mode(seed, frames, H, W, stereo=False, rgbd=False):
+    from droid_slam_tpu.apps.evaluate import run_slam
+    from droid_slam_tpu.data.synthetic import render_sequence
+    from droid_slam_tpu.eval.ate import Trajectory, ate_rmse
+    from droid_slam_tpu.runtime.config import DroidConfig
+
+    seq = render_sequence(
+        np.random.default_rng(seed), n_frames=frames, image_size=(H, W),
+        t_sigma=0.25, r_sigma=0.02, stereo=stereo,
+    )
+    if stereo:
+        track = [
+            (k, np.stack([seq["images"][k], seq["images_right"][k]]),
+             seq["intrinsics"][k])
+            for k in range(frames)
+        ]
+    elif rgbd:
+        track = [
+            (k, seq["images"][k], seq["depths"][k], seq["intrinsics"][k])
+            for k in range(frames)
+        ]
+    fill = [(k, seq["images"][k], seq["intrinsics"][k]) for k in range(frames)]
+    config = DroidConfig(
+        image_size=(H, W), buffer=max(64, frames), warmup=8, stereo=stereo,
+        compute_dtype="float32",
+    )
+    traj, droid = run_slam(config, WEIGHTS, track, fill)
+    ref = Trajectory(
+        np.arange(frames, dtype=np.float64),
+        seq["poses"][:, :3].astype(np.float64),
+        seq["poses"][:, 3:].astype(np.float64),
+    )
+    est = Trajectory(np.arange(frames, dtype=np.float64), traj[:, :3], traj[:, 3:])
+    kf = droid.video.counter
+    assert 6 <= kf <= frames - 2, f"keyframing degenerate: {kf}/{frames}"
+    return (
+        ate_rmse(ref, est, correct_scale=False, max_dt=0.25),
+        ate_rmse(ref, est, correct_scale=True, max_dt=0.25),
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="trained weights absent")
+def test_stereo_synthetic_ate():
+    """Stereo mode recovers a metric trajectory: the renderer's rig matches
+    the runtime's self-edge baseline exactly, so unscaled ATE must be small
+    and the Umeyama-fitted scale ≈ 1."""
+    unscaled, scaled = _run_synthetic_mode(7, 24, 96, 128, stereo=True)
+    assert unscaled["ate_rmse"] < 0.25, (unscaled, scaled)
+    assert 0.7 < scaled["scale"] < 1.4, (unscaled, scaled)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="trained weights absent")
+def test_rgbd_synthetic_ate():
+    """RGB-D mode: disps_sens + the BA α-prior pin scale to the sensor;
+    with exact GT depth the unscaled trajectory must be tight."""
+    unscaled, scaled = _run_synthetic_mode(7, 24, 96, 128, rgbd=True)
+    assert unscaled["ate_rmse"] < 0.15, (unscaled, scaled)
+    assert 0.8 < scaled["scale"] < 1.25, (unscaled, scaled)
 
 
 if __name__ == "__main__":
