@@ -220,7 +220,7 @@ def main():
     # (tools/longloop.py builds it; rendering costs minutes of host
     # raycasting that the driver's bench run should not pay). ----
     llp = os.environ.get("BENCH_LONGLOOP", "auto")
-    ll_frames, (ll_h, ll_w) = 288, (384, 512)
+    ll_frames, (ll_h, ll_w) = 240, (384, 512)
     ll_cache = f"/tmp/droid_longloop_7_{ll_frames}_{ll_h}x{ll_w}.npz"
     if llp == "1" or (llp == "auto" and os.path.exists(ll_cache)):
         from tools.longloop import run as longloop_run

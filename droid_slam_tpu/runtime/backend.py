@@ -17,6 +17,17 @@ def _pow2ceil(n: int, floor: int = 64) -> int:
     return max(int(2 ** np.ceil(np.log2(max(n, 1)))), floor)
 
 
+def _chunk_ceil(n: int, chunk: int = 256, floor: int = 64) -> int:
+    """Round up to a multiple of the update-op chunk instead of a power of
+    two: at reference scale the pow2 pad nearly DOUBLES the edge store
+    (16·300 = 4800 → 8192 slots), and the store's per-edge hidden is the
+    dominant backend allocation. Compile buckets move per 16 keyframes of
+    growth, which a once-per-session terminate (plus warm_terminate at the
+    same t) amortizes; the step already slices compute to the occupied
+    chunk prefix, so this changes memory, not math."""
+    return max(-(-max(n, 1) // chunk) * chunk, floor)
+
+
 class DroidBackend:
     """``mesh`` (optional jax.sharding.Mesh with a 'ba' axis) routes every
     global-BA solve through the edge-sharded distributed path
@@ -39,18 +50,26 @@ class DroidBackend:
         if not cfg.stereo and float(jnp.sum(v.disps_sens[:t])) == 0.0:
             v.normalize()
 
+        import jax.numpy as jnp_
+
+        chunk = getattr(cfg, "backend_chunk", 256)
         graph = FactorGraph(
             v,
             self.params,
-            max_factors=_pow2ceil(16 * t),
+            max_factors=_chunk_ceil(16 * t, chunk),
             # proximity with remove=False appends at most budget+2 edges
             # (the es counter breaks past max_factors); a tight pad — the
             # 2x default would double the dominant edge-buffer memory
-            edge_pad=_pow2ceil(16 * t) + 32,
+            edge_pad=_chunk_ceil(16 * t, chunk) + 32,
             inactive_pad=cfg.inactive_pad,
             window_pad=cfg.window_pad,
             schur_pair_floor=cfg.schur_pair_floor,
             upsample=cfg.upsample,
+            # the hidden store in compute dtype: halves the dominant
+            # backend allocation in bf16 production mode (see _empty_edges)
+            net_dtype=(jnp_.bfloat16
+                       if getattr(cfg, "compute_dtype", "float32") == "bfloat16"
+                       else jnp_.float32),
         )
 
         graph.add_proximity_factors(

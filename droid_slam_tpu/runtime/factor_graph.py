@@ -61,12 +61,18 @@ class InactiveState(NamedTuple):
     weight: Array
 
 
-def _empty_edges(n: int, h: int, w: int) -> EdgeState:
+def _empty_edges(n: int, h: int, w: int, net_dtype=jnp.float32) -> EdgeState:
+    # `net_dtype`: the per-edge GRU hidden dominates backend memory
+    # (n·h·w·128). The backend passes the compute dtype (bf16 in
+    # production): at reference scale (t≈300, 384×512 → 4.6k edges, 48×64
+    # grid) an f32 store alone is ~7 GB and OOM'd a 16 GB chip (r5
+    # long-loop). target/weight stay f32 — they carry sub-pixel coordinate
+    # precision the BA residuals need (bf16 ulp at u≈64 px is 0.5 px).
     return EdgeState(
         ii=jnp.zeros((n,), jnp.int32),
         jj=jnp.zeros((n,), jnp.int32),
         valid=jnp.zeros((n,), bool),
-        net=jnp.zeros((n, h, w, 128), jnp.float32),
+        net=jnp.zeros((n, h, w, 128), net_dtype),
         target=jnp.zeros((n, h, w, 2), jnp.float32),
         weight=jnp.zeros((n, h, w, 2), jnp.float32),
     )
@@ -102,7 +108,10 @@ def _add_edges_kernel(
     keyframe, target = current reprojection, weight = 0
     (factor_graph.py:110-135)."""
     target, _ = pops.projective_transform(poses, disps, intrinsics, new_ii, new_jj)
-    net_new = jnp.take(nets, new_ii, axis=0)
+    # cast to the STORE dtype (the backend keeps the hidden in compute
+    # dtype; an f32 video.nets would otherwise promote the where and
+    # silently double the store)
+    net_new = jnp.take(nets, new_ii, axis=0).astype(graph.net.dtype)
     w4 = write[:, None, None, None]
     return EdgeState(
         ii=jnp.where(write, new_ii, graph.ii),
@@ -453,6 +462,7 @@ class FactorGraph:
         schur_pair_floor: int = 4096,
         upsample: bool = False,
         edge_pad: int = None,
+        net_dtype=None,  # per-edge hidden store dtype (default f32)
     ):
         self.video = video
         self.params = params
@@ -486,7 +496,10 @@ class FactorGraph:
         self.bad_edges: set = set()
         self._topology_version = 0  # bumped on every edge/keyframe edit
 
-        self.edges = _empty_edges(self.edge_pad, h, w)
+        self.edges = _empty_edges(
+            self.edge_pad, h, w,
+            net_dtype=net_dtype if net_dtype is not None else jnp.float32,
+        )
         self.inactive = _empty_inactive(inactive_pad, h, w)
         self.damping = 1e-6 * jnp.ones((video.config.buffer, h, w), jnp.float32)
 
@@ -810,6 +823,19 @@ class FactorGraph:
         # (_build_lowmem_step is lru_cached, so this is free after the first
         # call per mode)
         chunk = getattr(self.video.config, "backend_chunk", 256)
+        # cap the chunk by the AltCorr working set: each chunk materialises
+        # a [chunk, h, w, h·w] correlation block (bf16), so the configured
+        # chunk (tuned at 240×320, hw=1200 — CLAUDE.md A/B) must shrink at
+        # larger grids. Budget ~1.2 GB: at 384×512 (hw=3072) that caps the
+        # chunk at 64 (an unscaled 256-chunk block alone is 4.5 GB and
+        # OOM'd the reference-scale long loop, r5).
+        hw = self.h * self.w
+        bytes_per = 2 if getattr(
+            self.video.config, "compute_dtype", "float32") == "bfloat16" else 4
+        cap = max(32, int(2 ** np.floor(
+            np.log2(max(1.2e9 / (hw * hw * bytes_per), 32))
+        )))
+        chunk = min(chunk, cap)
         self._lowmem_step = _build_lowmem_step(
             self.video.config.stereo,
             chunk=chunk,

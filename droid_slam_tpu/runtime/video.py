@@ -227,6 +227,19 @@ class VideoState:
         ii = np.asarray(ii, np.int32).reshape(-1)
         jj = np.asarray(jj, np.int32).reshape(-1)
         n = len(ii)
+        # cap the per-program pair count: the kernel materialises
+        # [pairs, ht, wd, 4] reprojection intermediates, and the backend's
+        # all-pairs proximity query grows as t² — at t≈300 keyframes
+        # (48×64 grid) one unchunked program wanted 19.5 GB of HBM, and a
+        # 16k chunk still OOM'd next to ~7 GB of resident session state
+        # (measured, r5 long-loop). Chunks reuse ONE compiled program.
+        CHUNK = 4096
+        if n > CHUNK:
+            return np.concatenate([
+                self.distance(ii[s:s + CHUNK], jj[s:s + CHUNK], beta=beta,
+                              bidirectional=bidirectional)
+                for s in range(0, n, CHUNK)
+            ])
         pad = max(int(2 ** np.ceil(np.log2(max(n, 16)))), 16)
         ii_p = jnp.asarray(np.pad(ii, (0, pad - n)))
         jj_p = jnp.asarray(np.pad(jj, (0, pad - n)))

@@ -69,6 +69,23 @@ def run(seed: int, frames: int, H: int, W: int, compute_dtype: str,
     track_s = time.perf_counter() - t0
 
     kf = int(droid._fused_state.counter) if droid.fused else droid.video.counter
+    # pre-terminate keyframe ATE: separates frontend drift from backend
+    # behavior when debugging the protocol
+    from droid_slam_tpu.ops import lie
+
+    droid._sync_fused_state()
+    kf_n = droid.video.counter
+    est_kf = np.asarray(lie.inv(droid.video.poses[:kf_n]))
+    ts_kf = np.asarray(droid.video.tstamp[:kf_n]).astype(np.float64)
+    ref_full = Trajectory(np.arange(frames, dtype=np.float64),
+                          seq["poses"][:, :3].astype(np.float64),
+                          seq["poses"][:, 3:].astype(np.float64))
+    pre = ate_rmse(
+        ref_full,
+        Trajectory(ts_kf, est_kf[:, :3].astype(np.float64),
+                   est_kf[:, 3:].astype(np.float64)),
+        correct_scale=True, max_dt=0.25,
+    )
     if warm:
         droid.warm_terminate(expected_keyframes=kf)
 
@@ -93,6 +110,8 @@ def run(seed: int, frames: int, H: int, W: int, compute_dtype: str,
         "terminate_s": round(term_s, 2),
         "ate_rmse": round(float(r["ate_rmse"]), 4),
         "scale": round(float(r["scale"]), 4),
+        "ate_kf_pre_terminate": round(float(pre["ate_rmse"]), 4),
+        "scale_kf_pre_terminate": round(float(pre["scale"]), 4),
     }
 
 
